@@ -1,0 +1,315 @@
+"""Batched NNDescent kNN-graph construction.
+
+TPU-native re-expression of the reference's OpenMP NNDescent
+(/root/reference/include/cphnsw/graph/graph_refinement.hpp:71-263, :432-515):
+
+  * The working graph is a fixed-shape (N, R) neighbor matrix (ids, dists,
+    new-flags) instead of per-node std::vectors.
+  * A join round samples lists of forward and reverse neighbors (preferring
+    "new" ones — the incremental-join trick, :171-222), computes ALL
+    candidate distances as chunked gathered matmuls on the MXU, and merges
+    top-R per node with a vmapped sort (replacing the insertion-sorted
+    working lists, :236-254).
+  * The adaptive convergence controller (EMA of the update rate, geometric
+    extrapolation of min rounds, hard cap, :464-515) stays as host-side
+    Python around the jitted round — its inputs are a single scalar per
+    round (the update count).
+
+Candidate sampling is fixed-cap (SURVEY.md section 7 "NNDescent
+irregularity"): convergence is slightly slower per round than the exact
+variable-length join, which the adaptive controller absorbs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID = jnp.int32(-1)
+FLOAT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
+
+# Forward/reverse list samples per join round (fixed-cap incremental join).
+SAMPLE_FWD = 4
+SAMPLE_REV = 4
+
+
+class WorkingGraph(NamedTuple):
+    ids: jax.Array    # (N, R) int32, -1 = empty slot
+    dists: jax.Array  # (N, R) f32, FLOAT_MAX for empty
+    flags: jax.Array  # (N, R) bool, True = new since last join
+
+
+def _pairwise_dist_to_cands(
+    raw: jax.Array, norm_sq: jax.Array, node_ids: jax.Array, cand_ids: jax.Array
+) -> jax.Array:
+    """d^2(node_i, cand_ij) for nodes (B,) x candidates (B, C); invalid -> MAX."""
+    safe_cand = jnp.maximum(cand_ids, 0)
+    x = raw[node_ids]                       # (B, P)
+    c = raw[safe_cand]                      # (B, C, P)
+    dots = jnp.einsum(
+        "bp,bcp->bc", x, c, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = norm_sq[node_ids][:, None] + norm_sq[safe_cand] - 2.0 * dots
+    d = jnp.maximum(d, 0.0)
+    invalid = (cand_ids < 0) | (cand_ids == node_ids[:, None])
+    return jnp.where(invalid, FLOAT_MAX, d)
+
+
+def _merge_top_r(
+    old_ids, old_dists, cand_ids, cand_dists, r: int
+):
+    """Merge candidate lists into the working lists: dedup by id, keep the
+    R smallest distances.  Returns (ids, dists, new_flags, n_updates)."""
+    ids = jnp.concatenate([old_ids, cand_ids], axis=1)
+    dists = jnp.concatenate([old_dists, cand_dists], axis=1)
+
+    # Dedup: sort by id, invalidate repeats (keep first occurrence).
+    order = jnp.argsort(ids, axis=1)
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    dists_s = jnp.take_along_axis(dists, order, axis=1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros_like(ids_s[:, :1], dtype=bool),
+            (ids_s[:, 1:] == ids_s[:, :-1]) & (ids_s[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    # On duplicate ids keep the smaller distance in the surviving slot.
+    # (sort by (id, dist) so the first occurrence is the best one)
+    dists_s = jnp.where(dup, FLOAT_MAX, dists_s)
+    dists_s = jnp.where(ids_s < 0, FLOAT_MAX, dists_s)
+
+    # Top-R by distance.
+    neg_top, sel = jax.lax.top_k(-dists_s, r)
+    new_ids = jnp.take_along_axis(ids_s, sel, axis=1)
+    new_dists = -neg_top
+    new_ids = jnp.where(new_dists >= FLOAT_MAX, INVALID, new_ids)
+
+    # flags: id not present in the old list
+    was_old = (new_ids[:, :, None] == old_ids[:, None, :]) & (
+        new_ids[:, :, None] >= 0
+    )
+    new_flags = (new_ids >= 0) & ~was_old.any(-1)
+    n_updates = new_flags.sum()
+    return new_ids, new_dists, new_flags, n_updates
+
+
+def _dedup_sort_pairs(ids, dists):
+    """Sort candidate pairs by (id, dist) so dedup keeps the best copy."""
+    big = jnp.float64 if False else None
+    # composite key: id * 2^20 + rank(dist) is overkill; two-stage sort works:
+    # first sort by dist (stable), then stable-sort by id.
+    order_d = jnp.argsort(dists, axis=1)
+    ids1 = jnp.take_along_axis(ids, order_d, axis=1)
+    dists1 = jnp.take_along_axis(dists, order_d, axis=1)
+    order_i = jnp.argsort(ids1, axis=1, stable=True)
+    return (
+        jnp.take_along_axis(ids1, order_i, axis=1),
+        jnp.take_along_axis(dists1, order_i, axis=1),
+    )
+
+
+def init_random(
+    raw: jax.Array,
+    norm_sq: jax.Array,
+    r: int,
+    seed: int = 42,
+    chunk: int = 16384,
+) -> WorkingGraph:
+    """Coupon-collector random init (reference init_working_random,
+    graph_refinement.hpp:71-117): sample a pool of ~R*ln(n/R) random
+    candidates per node, keep the R nearest."""
+    n = raw.shape[0]
+    pool = min(
+        int(r * math.ceil(math.log(max(n / r, 2.0)))) if n > r else n - 1,
+        max(n - 1, 1),
+    )
+    pool = max(pool, min(r, n - 1))
+    key = jax.random.PRNGKey(seed)
+
+    ids_out = np.full((n, r), -1, dtype=np.int32)
+    dists_out = np.full((n, r), np.finfo(np.float32).max, dtype=np.float32)
+
+    merge = jax.jit(
+        functools.partial(_merge_top_r, r=r), static_argnames=()
+    )
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        b = stop - start
+        key, sub = jax.random.split(key)
+        cand = jax.random.randint(sub, (b, pool), 0, n, dtype=jnp.int32)
+        node_ids = jnp.arange(start, stop, dtype=jnp.int32)
+        d = _pairwise_dist_to_cands(raw, norm_sq, node_ids, cand)
+        cand, d = _dedup_sort_pairs(cand, d)
+        empty_ids = jnp.full((b, r), INVALID)
+        empty_d = jnp.full((b, r), FLOAT_MAX)
+        mids, mdists, _, _ = merge(empty_ids, empty_d, cand, d)
+        ids_out[start:stop] = np.asarray(mids)
+        dists_out[start:stop] = np.asarray(mdists)
+
+    ids = jnp.asarray(ids_out)
+    dists = jnp.asarray(dists_out)
+    return WorkingGraph(ids=ids, dists=dists, flags=ids >= 0)
+
+
+@functools.partial(jax.jit, static_argnames=("r_rev",))
+def reverse_lists(ids: jax.Array, key: jax.Array, r_rev: int) -> jax.Array:
+    """Capped reverse-neighbor lists via one device sort.
+
+    For each directed edge (i -> v), i becomes a reverse neighbor of v; each
+    v keeps at most r_rev sources, selected by a per-round random priority
+    (replacing the reference's unbounded reverse vectors,
+    graph_refinement.hpp:146-155)."""
+    n, r = ids.shape
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, r))
+    tgt = ids.reshape(-1)
+    src = src.reshape(-1)
+    prio = jax.random.randint(key, tgt.shape, 0, 1 << 20, dtype=jnp.int32)
+    valid = tgt >= 0
+    tgt_safe = jnp.where(valid, tgt, n)  # invalid sorts last
+    comp = tgt_safe.astype(jnp.int64) * (1 << 20) + prio
+    order = jnp.argsort(comp)
+    tgt_sorted = tgt_safe[order]
+    src_sorted = src[order]
+    first = jnp.searchsorted(tgt_sorted, tgt_sorted, side="left")
+    rank = jnp.arange(tgt_sorted.shape[0]) - first
+    rev = jnp.full((n + 1, r_rev), INVALID)
+    rev = rev.at[tgt_sorted, jnp.minimum(rank, r_rev - 1)].set(
+        jnp.where(rank < r_rev, src_sorted, INVALID), mode="drop"
+    )
+    return rev[:n]
+
+
+def _prefer_new_sample(ids, flags, k_sample: int, key):
+    """Pick k_sample entries per row, preferring flagged (new) ones."""
+    n, r = ids.shape
+    noise = jax.random.uniform(key, (n, r))
+    # new entries get priority bucket 0, old valid 1, invalid 2
+    bucket = jnp.where(ids < 0, 2.0, jnp.where(flags, 0.0, 1.0))
+    score = bucket + noise * 0.999
+    _, sel = jax.lax.top_k(-score, k_sample)
+    return jnp.take_along_axis(ids, sel, axis=1), sel
+
+
+@functools.partial(jax.jit, static_argnames=("r",), donate_argnums=(2, 3, 4))
+def _join_chunk(
+    raw,
+    norm_sq,
+    ids,
+    dists,
+    flags,
+    rev,
+    key,
+    r: int,
+):
+    """One full join round over all nodes (single chunk variant)."""
+    n = ids.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    fwd_sample, fwd_sel = _prefer_new_sample(ids, flags, SAMPLE_FWD, k1)
+    rev_valid = rev >= 0
+    rev_sample, _ = _prefer_new_sample(
+        rev, rev_valid, SAMPLE_REV, k2
+    )
+
+    # Candidates: members of the sampled forward/reverse lists, plus the
+    # reverse neighbors themselves.
+    safe_f = jnp.maximum(fwd_sample, 0)
+    safe_r = jnp.maximum(rev_sample, 0)
+    cand_f = ids[safe_f].reshape(n, -1)
+    cand_f = jnp.where((fwd_sample < 0)[:, :, None].repeat(r, 2).reshape(n, -1), INVALID, cand_f)
+    cand_r = ids[safe_r].reshape(n, -1)
+    cand_r = jnp.where((rev_sample < 0)[:, :, None].repeat(r, 2).reshape(n, -1), INVALID, cand_r)
+    cand = jnp.concatenate([cand_f, cand_r, rev], axis=1)
+
+    node_ids = jnp.arange(n, dtype=jnp.int32)
+    d = _pairwise_dist_to_cands(raw, norm_sq, node_ids, cand)
+    cand, d = _dedup_sort_pairs(cand, d)
+    new_ids, new_dists, new_flags, n_updates = _merge_top_r(
+        ids, dists, cand, d, r
+    )
+    return new_ids, new_dists, new_flags, n_updates
+
+
+def join_round(
+    raw, norm_sq, wg: WorkingGraph, r: int, round_key
+) -> tuple[WorkingGraph, int]:
+    """One NNDescent join round; returns the update count for the
+    convergence controller."""
+    k_rev, k_join = jax.random.split(round_key)
+    rev = reverse_lists(wg.ids, k_rev, r)
+    ids, dists, flags, n_upd = _join_chunk(
+        raw, norm_sq, wg.ids, wg.dists, wg.flags, rev, k_join, r
+    )
+    return WorkingGraph(ids, dists, flags), int(n_upd)
+
+
+def run_adaptive(
+    raw: jax.Array,
+    norm_sq: jax.Array,
+    r: int,
+    seed: int = 42,
+    verbose: bool = False,
+) -> WorkingGraph:
+    """Adaptive NNDescent loop (reference optimize_graph_adaptive phases 1-2,
+    graph_refinement.hpp:460-515): two probe rounds measure the update-rate
+    decay, from which the EMA smoothing, convergence threshold, minimum
+    rounds (geometric extrapolation) and hard cap are derived."""
+    n = raw.shape[0]
+    wg = init_random(raw, norm_sq, r, seed=seed)
+    key = jax.random.PRNGKey(seed + 1)
+
+    total_edges = max(n * r, 1)
+    key, k0, k1 = jax.random.split(key, 3)
+    wg, upd0 = join_round(raw, norm_sq, wg, r, k0)
+    rate0 = upd0 / total_edges
+    wg, upd1 = join_round(raw, norm_sq, wg, r, k1)
+    rate1 = upd1 / total_edges
+
+    decay_ratio = rate1 / rate0 if rate0 > 1e-12 else 0.5
+    ema_alpha = float(np.clip(1.0 - decay_ratio, 0.2, 0.8))
+    converge_rate = max(rate0 / total_edges, 1.0 / total_edges)
+
+    if 0.0 < decay_ratio < 1.0 and rate0 > converge_rate:
+        min_rounds = int(
+            math.ceil(math.log(converge_rate / rate0) / math.log(decay_ratio))
+        )
+        min_rounds = int(
+            np.clip(
+                min_rounds, 2, math.sqrt(math.log2(max(n, 64)))
+            )
+        )
+    else:
+        min_rounds = 2
+    hard_cap = int(
+        np.clip(min_rounds * 3, 10, min(n, max(500, int(math.isqrt(n)))))
+    )
+
+    ema_rate = ema_alpha * rate1 + (1 - ema_alpha) * rate0
+    for rnd in range(2, hard_cap):
+        key, k = jax.random.split(key)
+        wg, upd = join_round(raw, norm_sq, wg, r, k)
+        rate = upd / total_edges
+        ema_rate = ema_alpha * rate + (1 - ema_alpha) * ema_rate
+        if verbose:
+            print(f"nndescent round {rnd}: rate={rate:.5f} ema={ema_rate:.5f}")
+        if rnd >= min_rounds and ema_rate < converge_rate:
+            break
+    return wg
+
+
+def knn_graph_recall(wg: WorkingGraph, raw: np.ndarray, k: int) -> float:
+    """Fraction of true k-NN edges present in the working graph (test util)."""
+    x = np.asarray(raw)
+    d = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    gt = np.argsort(d, axis=1)[:, :k]
+    ids = np.asarray(wg.ids)[:, :]
+    hits = (gt[:, :, None] == ids[:, None, :]).any(-1)
+    return float(hits.mean())
