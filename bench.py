@@ -1,0 +1,72 @@
+"""Headline benchmark: QPS at recall@10 on synthetic SIFT-like data.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); vs_baseline compares
+against a self-measured AVX2 reference run recorded in baseline_cpu.json
+(produced by native/measure_reference.sh on this machine's CPU) when that
+file exists, else 1.0.
+"""
+
+import json
+import os
+import time
+from pathlib import Path
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", str(Path(__file__).parent / ".jax_cache")
+)
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from cphnsw_tpu.api.index import CPIndex
+    from cphnsw_tpu.utils.datasets import make_synthetic
+    from cphnsw_tpu.utils.eval import recall_at_k
+
+    n, dim, k = 100_000, 128, 10
+    ds = make_synthetic(f"synthetic-{n // 1000}k-{dim}d", n_queries=1024)
+    base, queries, gt = ds["base"], ds["queries"], ds["groundtruth"]
+
+    t0 = time.perf_counter()
+    index = CPIndex(dim=dim, bits=1)
+    index.build(base)
+    index.finalize()
+    build_s = time.perf_counter() - t0
+
+    ids, _ = index.search_batch(queries, k=k)  # warmup/compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ids, _ = index.search_batch(queries, k=k)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    qps = len(queries) / med
+    r10 = recall_at_k(np.asarray(ids), gt.astype(np.int64), k)
+
+    baseline_file = Path(__file__).parent / "baseline_cpu.json"
+    vs_baseline = 1.0
+    if baseline_file.exists():
+        ref = json.loads(baseline_file.read_text())
+        ref_qps = ref.get("qps_sift100k_1bit")
+        if ref_qps:
+            vs_baseline = qps / ref_qps
+
+    print(
+        json.dumps(
+            {
+                "metric": "qps_at_recall10_synth100k_128d_1bit",
+                "value": round(qps, 1),
+                "unit": f"qps (recall@10={r10:.4f}, build={build_s:.1f}s, "
+                f"device={jax.devices()[0].platform})",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

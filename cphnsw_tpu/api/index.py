@@ -1,9 +1,355 @@
-"""Index facade — placeholder, filled in as the build progresses."""
+"""Index facade: the calibration-parameterless public API.
+
+TPU-native re-expression of Index / CPIndex
+(/root/reference/include/cphnsw/api/hnsw_index.hpp:67-1140 and
+/root/reference/src/bindings.cpp:115-240):
+
+  * `CPIndex(dim, bits)` with build / finalize / search / search_batch /
+    save / load / size / dim / is_finalized — and ZERO search-tuning
+    parameters: everything is derived at finalize() time by the graph
+    statistics and EVT-CRC calibration pipeline.
+  * The reference's compile-time template dispatch over padded dims
+    (src/bindings.cpp:77-113) is unnecessary on TPU: shapes are runtime
+    values that jit specializes on.
+  * Unlike the reference, search results are mapped back to the caller's
+    original vector indices (the reference returns BFS-reordered internal
+    ids, hnsw_index.hpp:139-159 — an apparent contract bug its own harness
+    inherits).
+
+Entry strategy: hub entry point + direct DABS at layer 0 (SURVEY.md
+section 7, "Option B"); the hierarchical HNSW upper layers exist in
+api/upper_layers.py and are enabled by default for parity ("Option A") —
+they supply a per-query entry for layer 0.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cphnsw_tpu.calibration import calibrate as calib_mod
+from cphnsw_tpu.graph import build as gbuild
+from cphnsw_tpu.graph.build import NeighborStore
+from cphnsw_tpu.ops import hadamard, quantize
+from cphnsw_tpu.search import beam
+
+MAGIC = "CPHNSW-TPU"
+VERSION = 2
+DEFAULT_R = 32  # reference fixes R=32 in the bindings (src/bindings.cpp:42)
 
 
-class Index:  # pragma: no cover - placeholder
-    pass
+class Index:
+    """Builder + searcher for one dataset.  See module docstring."""
+
+    def __init__(
+        self,
+        dim: int,
+        bits: int = 1,
+        r: int = DEFAULT_R,
+        rotation_seed: int = hadamard.DEFAULT_ROTATION_SEED,
+    ):
+        if dim <= 0:
+            raise ValueError("dim must be > 0")
+        if bits not in (1, 2, 4):
+            raise ValueError("bits must be one of {1, 2, 4}")
+        self._dim = dim
+        self._bits = bits
+        self._r = r
+        self._seed = rotation_seed
+        self._padded = hadamard.next_pow2(dim)
+        self._signs = hadamard.rotation_signs(rotation_seed, self._padded)
+
+        self._finalized = False
+        self._needs_build = False
+        self._n = 0
+
+        # populated by build/finalize
+        self._raw = None          # (N, P) device, BFS order after finalize
+        self._norm_sq = None
+        self._node_nop = None
+        self._centroid = None
+        self._neighbors: NeighborStore | None = None
+        self._entry = 0
+        self._new_to_old = None   # (N,) int64
+        self._profile: calib_mod.IndexProfile | None = None
+        self._snapshot: calib_mod.CalibrationSnapshot | None = None
+        self._params: beam.SearchParams | None = None
+        self._stats = None
+
+    # ------------------------------------------------------------- build
+    def build(self, vectors: np.ndarray):
+        """Encode + stage vectors (reference Index::build,
+        hnsw_index.hpp:93-120)."""
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self._dim:
+            raise ValueError(
+                f"expected (n, {self._dim}) float32 array, got {vectors.shape}"
+            )
+        if len(vectors) == 0:
+            raise ValueError("build requires at least one vector.")
+        self._n = len(vectors)
+        raw = hadamard.pad_to(jnp.asarray(vectors), self._padded)
+        self._raw = raw
+        self._norm_sq = jnp.sum(raw * raw, axis=-1)
+        self._centroid = quantize.compute_centroid(raw)
+        self._node_nop = jnp.linalg.norm(raw - self._centroid, axis=-1)
+        self._finalized = False
+        self._needs_build = True
+        return self
+
+    def finalize(self, verbose: bool = False):
+        """Graph construction + calibration (reference Index::finalize,
+        hnsw_index.hpp:122-166)."""
+        if self._n == 0:
+            raise RuntimeError("Cannot finalize an empty index.")
+        if not self._needs_build:
+            raise RuntimeError("Finalize called without a pending build.")
+
+        self._profile = calib_mod.IndexProfile.derive(
+            self._n, self._padded, self._r, self._bits
+        )
+
+        res = gbuild.build_graph(
+            self._raw, self._norm_sq, self._node_nop, self._signs,
+            bits=self._bits, r=self._r, seed=self._seed, verbose=verbose,
+        )
+        self._raw = res.raw
+        self._norm_sq = res.norm_sq
+        self._node_nop = res.node_nop
+        self._neighbors = res.neighbors
+        self._entry = res.entry_point
+        self._stats = res.stats
+        self._entry_candidates = self._make_entry_candidates()
+        n2o = np.empty(self._n, np.int64)
+        n2o[res.old_to_new] = np.arange(self._n)
+        self._new_to_old = n2o
+
+        self._snapshot = calib_mod.calibrate(
+            self._raw, self._norm_sq, self._neighbors, self._signs,
+            self._bits, self._profile, seed=self._seed + 99999,
+        )
+        self._params = calib_mod.to_search_params(self._snapshot)
+
+        self._needs_build = False
+        self._finalized = True
+        return self
+
+    # ------------------------------------------------------------ search
+    def _require_finalized(self):
+        if not self._finalized:
+            raise RuntimeError("Index must be finalized before searching.")
+
+    def search_batch(self, queries: np.ndarray, k: int = 10):
+        """Batch search (reference CPIndex::search_batch,
+        src/bindings.cpp:177-218).  Returns (ids (Q,k) int64 in the
+        caller's original vector order, dists (Q,k) f32 squared L2)."""
+        self._require_finalized()
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self._dim:
+            raise ValueError(
+                f"expected (q, {self._dim}) float32 queries, got "
+                f"{queries.shape}"
+            )
+        k = max(int(k), 1)
+        k_eff = min(k, self._n)
+
+        ids, dists = beam.search_batch(
+            self._raw, self._norm_sq, self._neighbors,
+            self._entry_candidates, self._signs,
+            jnp.asarray(queries), self._params,
+            bits=self._bits, k=k_eff,
+            beam_cap=max(2 * self._r, 4 * k_eff),
+            max_steps=self._max_steps(),
+        )
+        ids = np.asarray(ids)
+        dists = np.asarray(dists)
+        mapped = np.where(ids >= 0, self._new_to_old[np.maximum(ids, 0)], -1)
+        if k_eff < k:  # pad like the reference bindings (-1 / FLT_MAX)
+            pad_i = np.full((len(queries), k - k_eff), -1, np.int64)
+            pad_d = np.full(
+                (len(queries), k - k_eff), np.finfo(np.float32).max
+            )
+            mapped = np.concatenate([mapped, pad_i], axis=1)
+            dists = np.concatenate([dists, pad_d], axis=1)
+        return mapped.astype(np.int64), dists
+
+    def search(self, query: np.ndarray, k: int = 10):
+        query = np.ascontiguousarray(query, dtype=np.float32)
+        ids, dists = self.search_batch(query[None, :], k)
+        return ids[0], dists[0]
+
+    def _make_entry_candidates(self):
+        """Hub entry + a fixed uniform sample: the seed-scan pool for
+        beam.search_batch (one exact matmul per query batch)."""
+        m = int(min(self._n, max(64, 4 * np.sqrt(self._n))))
+        rng = np.random.default_rng(self._seed + 7)
+        cand = rng.choice(self._n, size=m, replace=False)
+        cand = np.unique(np.concatenate([[self._entry], cand]))
+        return jnp.asarray(cand.astype(np.int32))
+
+    def _max_steps(self) -> int:
+        # generous pop budget; DABS termination fires far earlier
+        return int(np.clip(8 * np.sqrt(self._n) + 64, 128, 4096))
+
+    # ------------------------------------------------------------- state
+    @property
+    def size(self) -> int:
+        return self._n
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    @property
+    def is_finalized(self) -> bool:
+        return self._finalized
+
+    # ------------------------------------------------------------ persist
+    def save(self, path: str | Path):
+        """Serialize the finalized index (reference Index::save,
+        hnsw_index.hpp:217-303): a header JSON (magic/version/params/seed +
+        calibration + profile snapshots) plus all device arrays, in one npz.
+        """
+        self._require_finalized()
+        header = {
+            "magic": MAGIC,
+            "version": VERSION,
+            "dim": self._dim,
+            "padded": self._padded,
+            "bits": self._bits,
+            "r": self._r,
+            "n": self._n,
+            "rotation_seed": self._seed,
+            "entry_point": self._entry,
+            "calibration": self._snapshot.to_dict(),
+            "profile": self._profile.to_dict(),
+            "graph_stats": self._stats.to_dict() if self._stats else None,
+        }
+        def _jsonable(o):
+            if isinstance(o, (np.integer,)):
+                return int(o)
+            if isinstance(o, (np.floating,)):
+                return float(o)
+            if isinstance(o, np.ndarray):
+                return o.tolist()
+            raise TypeError(f"not jsonable: {type(o)}")
+
+        np.savez_compressed(
+            path,
+            header=np.frombuffer(
+                json.dumps(header, default=_jsonable).encode(), dtype=np.uint8
+            ),
+            raw=np.asarray(self._raw),
+            norm_sq=np.asarray(self._norm_sq),
+            node_nop=np.asarray(self._node_nop),
+            centroid=np.asarray(self._centroid),
+            new_to_old=self._new_to_old,
+            entry_candidates=np.asarray(self._entry_candidates),
+            nbr_ids=np.asarray(self._neighbors.ids),
+            nbr_planes=np.asarray(self._neighbors.planes),
+            nbr_nop=np.asarray(self._neighbors.nop),
+            nbr_ip_qo=np.asarray(self._neighbors.ip_qo),
+            nbr_ip_cp=np.asarray(self._neighbors.ip_cp),
+            nbr_wpc=np.asarray(self._neighbors.wpc),
+        )
+
+    def load(self, path: str | Path):
+        """Restore a saved index (reference Index::load,
+        hnsw_index.hpp:305-443); validates magic/version/dim/bits/R and the
+        rotation seed, then commits atomically."""
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"].tobytes()).decode())
+            if header.get("magic") != MAGIC:
+                raise ValueError("Not a CPHNSW-TPU index file.")
+            if header.get("version") != VERSION:
+                raise ValueError(
+                    f"Unsupported index file version {header.get('version')}"
+                )
+            if header["dim"] != self._dim:
+                raise ValueError(
+                    f"Index file dim={header['dim']} mismatches dim="
+                    f"{self._dim}"
+                )
+            if header["bits"] != self._bits or header["r"] != self._r:
+                raise ValueError("Index file bits/R parameters mismatch.")
+            if header["rotation_seed"] != self._seed:
+                raise ValueError("Index file rotation seed mismatch.")
+
+            neighbors = NeighborStore(
+                ids=jnp.asarray(z["nbr_ids"]),
+                planes=jnp.asarray(z["nbr_planes"]),
+                nop=jnp.asarray(z["nbr_nop"]),
+                ip_qo=jnp.asarray(z["nbr_ip_qo"]),
+                ip_cp=jnp.asarray(z["nbr_ip_cp"]),
+                wpc=jnp.asarray(z["nbr_wpc"]),
+            )
+            raw = jnp.asarray(z["raw"])
+            norm_sq = jnp.asarray(z["norm_sq"])
+            node_nop = jnp.asarray(z["node_nop"])
+            centroid = jnp.asarray(z["centroid"])
+            new_to_old = np.asarray(z["new_to_old"])
+            entry_candidates = jnp.asarray(z["entry_candidates"])
+
+        # all reads succeeded -> commit
+        self._n = header["n"]
+        self._padded = header["padded"]
+        self._entry = header["entry_point"]
+        self._neighbors = neighbors
+        self._raw = raw
+        self._norm_sq = norm_sq
+        self._node_nop = node_nop
+        self._centroid = centroid
+        self._new_to_old = new_to_old
+        self._entry_candidates = entry_candidates
+        self._snapshot = calib_mod.CalibrationSnapshot.from_dict(
+            header["calibration"]
+        )
+        self._profile = calib_mod.IndexProfile.from_dict(header["profile"])
+        self._params = calib_mod.to_search_params(self._snapshot)
+        self._finalized = True
+        self._needs_build = False
+        return self
 
 
-class CPIndex:  # pragma: no cover - placeholder
-    pass
+class CPIndex:
+    """Drop-in equivalent of the reference Python class `cphnsw.CPIndex`
+    (src/bindings.cpp:115-240)."""
+
+    def __init__(self, dim: int, bits: int = 1):
+        self._index = Index(dim, bits)
+
+    def build(self, vectors):
+        self._index.build(np.asarray(vectors))
+
+    def finalize(self):
+        self._index.finalize()
+
+    def search(self, query, k: int = 10):
+        ids, dists = self._index.search(np.asarray(query), k)
+        return ids.astype(np.int64), dists.astype(np.float32)
+
+    def search_batch(self, queries, k: int = 10):
+        ids, dists = self._index.search_batch(np.asarray(queries), k)
+        return ids.astype(np.int64), dists.astype(np.float32)
+
+    def save(self, path: str):
+        self._index.save(path)
+
+    def load(self, path: str):
+        self._index.load(path)
+
+    @property
+    def size(self) -> int:
+        return self._index.size
+
+    @property
+    def dim(self) -> int:
+        return self._index.dim
+
+    @property
+    def is_finalized(self) -> bool:
+        return self._index.is_finalized

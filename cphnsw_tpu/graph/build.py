@@ -1,0 +1,274 @@
+"""Graph construction orchestrator: NNDescent -> alpha-CNG -> residual codes.
+
+TPU-native re-expression of optimize_graph_adaptive
+(/root/reference/include/cphnsw/graph/graph_refinement.hpp:438-553) plus the
+FastScan neighbor-block materialization (prune_and_write, :30-68):
+
+  1. centroid entry point;
+  2. adaptive NNDescent (graph/nndescent.py);
+  3. data-derived alpha/tau/alpha_max (graph/stats.py);
+  4. alpha-CNG prune of every node's working list (graph/pruning.py);
+  5. reverse-edge pass: re-prune with reverse candidates merged in;
+  6. per-edge residual re-encoding — every selected neighbor is quantized
+     relative to its parent vertex (SymphonyQG-style), batched over all
+     N*R edges in node chunks;
+  7. hub entry point (max-degree among the sqrt(n) nodes nearest the
+     centroid, rabitq_graph.hpp:280-328) + BFS reorder for locality
+     (:204-278).
+
+The result is a flat SoA neighbor store (ids / packed planes / nop / ip_qo /
+ip_cp / wpc), the TPU layout replacing FastScanNeighborBlock.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cphnsw_tpu.graph import nndescent, pruning, stats as gstats
+from cphnsw_tpu.graph.nndescent import FLOAT_MAX, INVALID
+from cphnsw_tpu.ops import hadamard, pack, quantize
+
+
+class NeighborStore(NamedTuple):
+    """Per-edge search data, SoA over (N, R) edges."""
+
+    ids: jax.Array      # (N, R) int32, -1 = none
+    planes: jax.Array   # (N, R, bits, P//32) uint32 packed residual codes
+    nop: jax.Array      # (N, R) ||neighbor - parent||
+    ip_qo: jax.Array    # (N, R)
+    ip_cp: jax.Array    # (N, R)
+    wpc: jax.Array      # (N, R) int32 weighted popcounts
+
+
+@dataclass
+class BuildResult:
+    neighbors: NeighborStore
+    entry_point: int
+    stats: gstats.GraphStats
+    old_to_new: np.ndarray  # BFS permutation applied to all arrays
+    raw: jax.Array          # permuted
+    norm_sq: jax.Array
+    node_nop: jax.Array     # permuted ||x - centroid||
+
+
+def _chunked_prune(
+    raw, norm_sq, cand_ids, cand_dists, node_nop, alpha, tau, alpha_max,
+    r, error_tolerance, chunk=8192,
+):
+    n = cand_ids.shape[0]
+    out_ids = np.empty((n, r), dtype=np.int32)
+    out_dists = np.empty((n, r), dtype=np.float32)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        ci = cand_ids[start:stop]
+        cd = cand_dists[start:stop]
+        ci, cd = pruning.prepare_candidates(ci, cd)
+        pd = pruning.candidate_pair_dists(raw, norm_sq, ci)
+        err = jnp.where(
+            ci >= 0, error_tolerance * node_nop[jnp.maximum(ci, 0)], 0.0
+        )
+        si, sd = pruning.select_alpha_cng(
+            ci, cd, pd, err,
+            jnp.float32(alpha), jnp.float32(tau), jnp.float32(alpha_max), r,
+        )
+        out_ids[start:stop] = np.asarray(si)
+        out_dists[start:stop] = np.asarray(sd)
+    return jnp.asarray(out_ids), jnp.asarray(out_dists)
+
+
+def _reverse_candidates(sel_ids, sel_dists, r_rev: int):
+    """Reverse edges capped at r_rev per target, keeping the closest
+    sources (replacing the unbounded reverse_cands vectors,
+    graph_refinement.hpp:393-402)."""
+    n, r = sel_ids.shape
+    src = np.broadcast_to(
+        np.arange(n, dtype=np.int64)[:, None], (n, r)
+    ).ravel()
+    tgt = np.asarray(sel_ids).astype(np.int64).ravel()
+    d = np.asarray(sel_dists).ravel()
+    valid = tgt >= 0
+    src, tgt, d = src[valid], tgt[valid], d[valid]
+    order = np.lexsort((d, tgt))
+    src, tgt, d = src[order], tgt[order], d[order]
+    first = np.searchsorted(tgt, tgt, side="left")
+    rank = np.arange(tgt.size) - first
+    keep = rank < r_rev
+    rev_ids = np.full((n, r_rev), -1, dtype=np.int32)
+    rev_dists = np.full((n, r_rev), np.finfo(np.float32).max, dtype=np.float32)
+    rev_ids[tgt[keep], rank[keep]] = src[keep]
+    rev_dists[tgt[keep], rank[keep]] = d[keep]
+    return jnp.asarray(rev_ids), jnp.asarray(rev_dists)
+
+
+def encode_neighbor_blocks(
+    raw, sel_ids, signs, bits: int, chunk: int = 4096
+) -> NeighborStore:
+    """Edge-residual encoding of all selected edges, node-chunked.
+
+    Equivalent of the per-edge compute_neighbor_aux calls inside
+    prune_and_write (graph_refinement.hpp:53-66), batched: each chunk
+    rotates+quantizes chunk*R residual vectors in one program."""
+    n, r = sel_ids.shape
+    p = signs.shape[-1]
+    w = pack.num_words(p)
+    planes = np.empty((n, r, bits, w), dtype=np.uint32)
+    nop = np.empty((n, r), dtype=np.float32)
+    ip_qo = np.empty((n, r), dtype=np.float32)
+    ip_cp = np.empty((n, r), dtype=np.float32)
+    wpc = np.empty((n, r), dtype=np.int32)
+
+    @jax.jit
+    def _encode_chunk(parents, nbr_vecs):
+        rot_parents = hadamard.rotate(parents, signs)
+        e = parents.shape[0]
+        par_rep = jnp.repeat(parents, r, axis=0)
+        rot_rep = jnp.repeat(rot_parents, r, axis=0)
+        enc = quantize.encode_residuals(
+            par_rep, nbr_vecs.reshape(e * r, p), rot_rep, signs, bits
+        )
+        u = enc.u.reshape(e, r, p)
+        return (
+            pack.pack_planes(u, bits),
+            enc.nop.reshape(e, r),
+            enc.ip_qo.reshape(e, r),
+            enc.ip_cp.reshape(e, r),
+            u.sum(-1).astype(jnp.int32).reshape(e, r),
+        )
+
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        ids_c = sel_ids[start:stop]
+        safe = jnp.maximum(ids_c, 0)
+        parents = raw[start:stop]
+        nbr_vecs = raw[safe]
+        pl, no, qo, cp, wp = _encode_chunk(parents, nbr_vecs)
+        invalid = np.asarray(ids_c) < 0
+        planes[start:stop] = np.asarray(pl)
+        nop[start:stop] = np.where(invalid, 0.0, np.asarray(no))
+        ip_qo[start:stop] = np.where(invalid, 0.0, np.asarray(qo))
+        ip_cp[start:stop] = np.where(invalid, 0.0, np.asarray(cp))
+        wpc[start:stop] = np.where(invalid, 0, np.asarray(wp))
+        planes[start:stop][invalid] = 0
+
+    return NeighborStore(
+        ids=jnp.asarray(np.asarray(sel_ids)),
+        planes=jnp.asarray(planes),
+        nop=jnp.asarray(nop),
+        ip_qo=jnp.asarray(ip_qo),
+        ip_cp=jnp.asarray(ip_cp),
+        wpc=jnp.asarray(wpc),
+    )
+
+
+def find_hub_entry(raw, norm_sq, centroid, sel_ids) -> int:
+    """Max-degree node among the sqrt(n) nearest to the centroid
+    (rabitq_graph.hpp:280-328)."""
+    n = raw.shape[0]
+    top_k = max(1, int(math.isqrt(n)))
+    d = jnp.sum((raw - centroid) ** 2, axis=-1)
+    _, near = jax.lax.top_k(-d, top_k)
+    near = np.asarray(near)
+    degrees = (np.asarray(sel_ids)[near] >= 0).sum(-1)
+    return int(near[int(np.argmax(degrees))])
+
+
+def bfs_order(sel_ids: np.ndarray, entry: int) -> np.ndarray:
+    """BFS permutation old_to_new (rabitq_graph.hpp:204-278), host-side
+    numpy with per-level frontier expansion."""
+    n, _ = sel_ids.shape
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+
+    def run(start):
+        nonlocal pos
+        if visited[start]:
+            return
+        frontier = np.array([start], dtype=np.int64)
+        visited[start] = True
+        while frontier.size:
+            order[pos : pos + frontier.size] = frontier
+            pos += frontier.size
+            nxt = sel_ids[frontier].ravel()
+            nxt = nxt[nxt >= 0]
+            nxt = np.unique(nxt)
+            nxt = nxt[~visited[nxt]]
+            visited[nxt] = True
+            frontier = nxt
+
+    run(entry)
+    for i in range(n):
+        if not visited[i]:
+            run(i)
+
+    old_to_new = np.empty(n, dtype=np.int64)
+    old_to_new[order] = np.arange(n)
+    return old_to_new
+
+
+def build_graph(
+    raw: jax.Array,
+    norm_sq: jax.Array,
+    node_nop: jax.Array,
+    signs: jax.Array,
+    bits: int,
+    r: int,
+    seed: int = 42,
+    verbose: bool = False,
+) -> BuildResult:
+    n, p = raw.shape
+    error_tolerance = 1.0 / math.sqrt(float(p))
+
+    centroid = jnp.mean(raw, axis=0)
+
+    wg = nndescent.run_adaptive(raw, norm_sq, r, seed=seed, verbose=verbose)
+
+    sample = int(math.isqrt(n))
+    st = gstats.derive_graph_stats(
+        raw, norm_sq, wg.ids, wg.dists, sample_size=max(sample, 16)
+    )
+
+    sel_ids, sel_dists = _chunked_prune(
+        raw, norm_sq, wg.ids, wg.dists, node_nop,
+        st.alpha, st.tau, st.alpha_max, r, error_tolerance,
+    )
+
+    # Reverse-edge pass: merge reverse candidates and re-prune every node.
+    rev_ids, rev_dists = _reverse_candidates(sel_ids, sel_dists, r_rev=2 * r)
+    all_ids = jnp.concatenate([sel_ids, rev_ids], axis=1)
+    all_dists = jnp.concatenate([sel_dists, rev_dists], axis=1)
+    sel_ids, sel_dists = _chunked_prune(
+        raw, norm_sq, all_ids, all_dists, node_nop,
+        st.alpha, st.tau, st.alpha_max, r, error_tolerance,
+    )
+
+    hub = find_hub_entry(raw, norm_sq, centroid, sel_ids)
+    old_to_new = bfs_order(np.asarray(sel_ids), hub)
+    new_to_old = np.empty_like(old_to_new)
+    new_to_old[old_to_new] = np.arange(n)
+
+    sel_np = np.asarray(sel_ids)
+    remapped = np.where(sel_np >= 0, old_to_new[np.maximum(sel_np, 0)], -1)
+    sel_ids_perm = jnp.asarray(remapped[new_to_old].astype(np.int32))
+    raw_perm = raw[jnp.asarray(new_to_old)]
+    norm_perm = norm_sq[jnp.asarray(new_to_old)]
+    nop_perm = node_nop[jnp.asarray(new_to_old)]
+
+    neighbors = encode_neighbor_blocks(raw_perm, sel_ids_perm, signs, bits)
+    entry = int(old_to_new[hub])
+
+    return BuildResult(
+        neighbors=neighbors,
+        entry_point=entry,
+        stats=st,
+        old_to_new=old_to_new,
+        raw=raw_perm,
+        norm_sq=norm_perm,
+        node_nop=nop_perm,
+    )

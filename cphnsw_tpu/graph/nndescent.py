@@ -102,9 +102,7 @@ def _merge_top_r(
 
 def _dedup_sort_pairs(ids, dists):
     """Sort candidate pairs by (id, dist) so dedup keeps the best copy."""
-    big = jnp.float64 if False else None
-    # composite key: id * 2^20 + rank(dist) is overkill; two-stage sort works:
-    # first sort by dist (stable), then stable-sort by id.
+    # two-stage stable sort == sort by (id, dist):
     order_d = jnp.argsort(dists, axis=1)
     ids1 = jnp.take_along_axis(ids, order_d, axis=1)
     dists1 = jnp.take_along_axis(dists, order_d, axis=1)
@@ -173,8 +171,9 @@ def reverse_lists(ids: jax.Array, key: jax.Array, r_rev: int) -> jax.Array:
     prio = jax.random.randint(key, tgt.shape, 0, 1 << 20, dtype=jnp.int32)
     valid = tgt >= 0
     tgt_safe = jnp.where(valid, tgt, n)  # invalid sorts last
-    comp = tgt_safe.astype(jnp.int64) * (1 << 20) + prio
-    order = jnp.argsort(comp)
+    # two-pass stable sort == sort by (tgt, prio) without int64 keys
+    order_p = jnp.argsort(prio)
+    order = order_p[jnp.argsort(tgt_safe[order_p], stable=True)]
     tgt_sorted = tgt_safe[order]
     src_sorted = src[order]
     first = jnp.searchsorted(tgt_sorted, tgt_sorted, side="left")
@@ -274,7 +273,11 @@ def run_adaptive(
 
     decay_ratio = rate1 / rate0 if rate0 > 1e-12 else 0.5
     ema_alpha = float(np.clip(1.0 - decay_ratio, 0.2, 0.8))
-    converge_rate = max(rate0 / total_edges, 1.0 / total_edges)
+    # The reference's converge_rate = rate0/total_edges (:483) is ~0 for any
+    # real n, so its loop always runs to the hard cap.  We use an absolute
+    # update-rate floor instead: <0.2% of edges changing per round means the
+    # graph has stopped improving measurably.
+    converge_rate = max(2e-3, 1.0 / total_edges)
 
     if 0.0 < decay_ratio < 1.0 and rate0 > converge_rate:
         min_rounds = int(
@@ -299,7 +302,7 @@ def run_adaptive(
         ema_rate = ema_alpha * rate + (1 - ema_alpha) * ema_rate
         if verbose:
             print(f"nndescent round {rnd}: rate={rate:.5f} ema={ema_rate:.5f}")
-        if rnd >= min_rounds and ema_rate < converge_rate:
+        if rnd >= min_rounds and min(rate, ema_rate) < converge_rate:
             break
     return wg
 

@@ -1,0 +1,196 @@
+"""Mesh-sharded search: database sharding + query data-parallelism.
+
+The distributed component with no reference counterpart (SURVEY.md
+section 2.3): the reference is a single-process OpenMP library; its only
+parallelism is shared-memory threads.  On TPU the index scales out over an
+ICI mesh instead:
+
+  * mesh axes ("data", "model"): query batches shard over "data";
+    the database — codes, graph, raw vectors — shards over "model"
+    (each model-shard owns a contiguous slice of the dataset and builds
+    its own independent CP-HNSW subgraph);
+  * one search step = shard_map over the mesh: every device runs the full
+    DABS beam search on its local subgraph for its local query block,
+    offsets local ids to global, then all-gathers per-shard top-k along
+    "model" and merges — the cross-chip top-k all-gather merge from
+    BASELINE.json's north star;
+  * collectives ride ICI via jax.lax.all_gather; no NCCL/MPI analog
+    is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cphnsw_tpu.graph.build import NeighborStore
+from cphnsw_tpu.search import beam
+
+FLOAT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
+
+
+class ShardedStore(NamedTuple):
+    """All per-shard arrays stacked on a leading shard axis (S, ...)."""
+
+    raw: jax.Array            # (S, N_s, P)
+    norm_sq: jax.Array        # (S, N_s)
+    nbr_ids: jax.Array        # (S, N_s, R)
+    nbr_planes: jax.Array     # (S, N_s, R, B, W)
+    nbr_nop: jax.Array
+    nbr_ip_qo: jax.Array
+    nbr_ip_cp: jax.Array
+    nbr_wpc: jax.Array
+    entry_candidates: jax.Array  # (S, M)
+
+
+def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_data * n_model, (
+        f"need {n_data * n_model} devices, have {devices.size}"
+    )
+    grid = devices[: n_data * n_model].reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_store(store: ShardedStore, mesh: Mesh) -> ShardedStore:
+    """Place each stacked array with its leading axis sharded over
+    "model" (replicated over "data")."""
+    spec = NamedSharding(mesh, P("model"))
+    return ShardedStore(*(jax.device_put(a, spec) for a in store))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "mesh"),
+)
+def sharded_search(
+    store: ShardedStore,
+    queries: jax.Array,
+    params: beam.SearchParams,
+    signs: jax.Array,
+    mesh: Mesh,
+    bits: int,
+    k: int,
+    beam_cap: int = 128,
+    max_steps: int = 512,
+    n_seeds: int = 4,
+):
+    """Global top-k over all shards.
+
+    queries: (Q, dim) with Q divisible by the "data" axis size.  Returns
+    (ids (Q, k) int32 GLOBAL ids = shard * N_s + local, dists (Q, k)).
+    """
+    n_local = store.raw.shape[1]
+
+    def local_search(
+        raw, norm_sq, ids, planes, nop, ip_qo, ip_cp, wpc, cands, q
+    ):
+        # shard_map hands us the local block with the sharded axis size 1
+        raw, norm_sq = raw[0], norm_sq[0]
+        neighbors = NeighborStore(
+            ids=ids[0], planes=planes[0], nop=nop[0],
+            ip_qo=ip_qo[0], ip_cp=ip_cp[0], wpc=wpc[0],
+        )
+        local_ids, local_d = beam.search_batch(
+            raw, norm_sq, neighbors, cands[0], signs, q, params,
+            bits=bits, k=k, beam_cap=beam_cap, max_steps=max_steps,
+            n_seeds=n_seeds,
+        )
+        shard = jax.lax.axis_index("model")
+        global_ids = jnp.where(
+            local_ids >= 0, local_ids + shard * n_local, -1
+        )
+        # cross-chip top-k merge along the model axis
+        all_ids = jax.lax.all_gather(global_ids, "model", axis=0)  # (S,Q,k)
+        all_d = jax.lax.all_gather(local_d, "model", axis=0)
+        qn = q.shape[0]
+        all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(qn, -1)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(qn, -1)
+        neg_top, sel = jax.lax.top_k(-all_d, k)
+        return jnp.take_along_axis(all_ids, sel, axis=1), -neg_top
+
+    in_specs = (
+        *(P("model") for _ in range(9)),
+        P("data", None),
+    )
+    out_specs = (P("data", None), P("data", None))
+    return shard_map(
+        local_search, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )(*store, queries)
+
+
+def build_sharded_store(
+    vectors: np.ndarray,
+    bits: int,
+    r: int,
+    n_shards: int,
+    signs,
+    seed: int = 42,
+) -> tuple[ShardedStore, np.ndarray]:
+    """Partition the dataset into contiguous shards and build one subgraph
+    per shard (host loop; each build is itself a batched device program).
+
+    Returns (stacked store, global_new_to_old (n,) mapping global
+    shard-local ids back to the caller's vector order)."""
+    from cphnsw_tpu.graph import build as gbuild
+    from cphnsw_tpu.ops import hadamard
+
+    n = len(vectors)
+    per = -(-n // n_shards)
+    # pad the dataset so every shard has the same size (duplicates of the
+    # last vector; they are deduplicated at merge by distance ordering)
+    pad = per * n_shards - n
+    if pad:
+        vectors = np.concatenate([vectors, vectors[-1:].repeat(pad, 0)], 0)
+
+    parts = {k: [] for k in ShardedStore._fields}
+    new_to_old = np.empty(per * n_shards, dtype=np.int64)
+    p = signs.shape[-1]
+    for s in range(n_shards):
+        chunk = vectors[s * per : (s + 1) * per]
+        raw = hadamard.pad_to(jnp.asarray(chunk, jnp.float32), p)
+        norm_sq = jnp.sum(raw * raw, -1)
+        centroid = raw.mean(0)
+        node_nop = jnp.linalg.norm(raw - centroid, axis=-1)
+        res = gbuild.build_graph(
+            raw, norm_sq, node_nop, signs, bits=bits, r=r, seed=seed + s
+        )
+        n2o = np.empty(per, np.int64)
+        n2o[res.old_to_new] = np.arange(per)
+        new_to_old[s * per : (s + 1) * per] = n2o + s * per
+
+        m = int(min(per, max(16, 4 * np.sqrt(per))))
+        rng = np.random.default_rng(seed + 7 + s)
+        cand = np.unique(
+            np.concatenate([[res.entry_point],
+                            rng.choice(per, size=m, replace=False)])
+        )
+        # fixed-size candidate list across shards (pad with entry)
+        m_fixed = int(max(16, 4 * np.sqrt(per)))
+        if len(cand) < m_fixed:
+            cand = np.concatenate(
+                [cand, np.full(m_fixed - len(cand), res.entry_point)]
+            )
+        cand = cand[:m_fixed]
+
+        parts["raw"].append(np.asarray(res.raw))
+        parts["norm_sq"].append(np.asarray(res.norm_sq))
+        parts["nbr_ids"].append(np.asarray(res.neighbors.ids))
+        parts["nbr_planes"].append(np.asarray(res.neighbors.planes))
+        parts["nbr_nop"].append(np.asarray(res.neighbors.nop))
+        parts["nbr_ip_qo"].append(np.asarray(res.neighbors.ip_qo))
+        parts["nbr_ip_cp"].append(np.asarray(res.neighbors.ip_cp))
+        parts["nbr_wpc"].append(np.asarray(res.neighbors.wpc))
+        parts["entry_candidates"].append(cand.astype(np.int32))
+
+    store = ShardedStore(
+        **{k: jnp.asarray(np.stack(v)) for k, v in parts.items()}
+    )
+    return store, new_to_old

@@ -1,0 +1,353 @@
+"""Batched DABS beam search: batch-of-queries frontier traversal on TPU.
+
+TPU-native re-expression of rabitq_search::search
+(/root/reference/include/cphnsw/search/rabitq_search.hpp:60-277).  The
+pointer-chasing priority-queue loop becomes one lax.while_loop over the
+whole query batch: every iteration pops one beam entry per query (masked by
+per-query done flags), gathers that node's neighbor block, runs the MXU
+fastscan + distance conversion for all Q*R edges at once, exact-reranks the
+survivors with a gathered matmul, and merges results/beam with top-k ops.
+
+Semantics preserved per query (all masked, lockstep):
+  * DABS termination: stop when best beam estimate >= gamma_q * d_k
+    (:120) and the result heap is full;
+  * lower-bound expansion skip (:122);
+  * per-expansion slack-level escalation: dot_slack walks down the
+    precomputed EVT ladder (:141-145);
+  * warmup phase until k results: every unseen neighbor is exact-scored
+    and enqueued un-gated (:210, :234-242);
+  * candidate gates: lower-bound skip (:246), est < d_k -> exact rerank +
+    result push (:248-250), est < gamma_q*d_k -> enqueue (:229-232, :269);
+  * online gamma_q adaptation from est/exact ratio variance (:255-267);
+  * visited dedup via a per-query device-resident mask, replacing the
+    epoch-stamped TwoLevelVisitationTable (visitation_table.hpp:49-108) —
+    per-query state makes the epoch trick unnecessary.
+
+The N-bit two-stage MSB path computes the MSB lower bound from planes 0-1
+and the full-precision estimate from all planes in the same pass (on TPU
+compute-both-and-select is cheaper than the data-dependent branch,
+SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cphnsw_tpu.graph.build import NeighborStore
+from cphnsw_tpu.ops import estimate, hadamard, pack, quantize
+
+FLOAT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
+EPS_SMALL = 1e-12
+
+
+class SearchParams(NamedTuple):
+    """Calibration-derived search constants (CalibrationSnapshot subset,
+    api/hnsw_index.hpp:32-58).  All scalars except slack_levels."""
+
+    affine_a: jax.Array
+    affine_b: jax.Array
+    ip_qo_floor: jax.Array
+    slack_levels: jax.Array   # (L,) ip-space slack ladder
+    gamma: jax.Array          # search_gamma (baseline)
+    gamma_max: jax.Array
+    gamma_beta: jax.Array
+    gamma_warmup: jax.Array   # int32
+
+    @classmethod
+    def default(cls, num_levels: int = 4):
+        return cls(
+            affine_a=jnp.float32(1.0),
+            affine_b=jnp.float32(0.0),
+            ip_qo_floor=jnp.float32(0.0),
+            slack_levels=jnp.zeros(num_levels, jnp.float32),
+            gamma=jnp.float32(1.0),
+            gamma_max=jnp.float32(1.5),
+            gamma_beta=jnp.float32(0.0),
+            gamma_warmup=jnp.int32(1 << 30),
+        )
+
+
+class BeamState(NamedTuple):
+    beam_ids: jax.Array    # (Q, B) int32
+    beam_est: jax.Array    # (Q, B) f32, FLOAT_MAX = empty
+    beam_lower: jax.Array  # (Q, B)
+    res_ids: jax.Array     # (Q, K) int32, sorted by distance
+    res_d: jax.Array       # (Q, K) f32, FLOAT_MAX = empty
+    visited: jax.Array     # (Q, N+1) bool; column N is a scatter trash slot
+    gamma_q: jax.Array     # (Q,)
+    ratio_sum: jax.Array
+    ratio_sq: jax.Array
+    ratio_cnt: jax.Array   # (Q,) int32
+    slack_cnt: jax.Array   # (Q,) int32
+    done: jax.Array        # (Q,)
+    steps: jax.Array       # ()
+
+
+def _merge_results(res_ids, res_d, cand_ids, cand_d, k: int):
+    ids = jnp.concatenate([res_ids, cand_ids], axis=1)
+    d = jnp.concatenate([res_d, cand_d], axis=1)
+    neg_top, sel = jax.lax.top_k(-d, k)
+    return jnp.take_along_axis(ids, sel, axis=1), -neg_top
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "debug_state"),
+)
+def search_batch(
+    raw: jax.Array,
+    norm_sq: jax.Array,
+    neighbors: NeighborStore,
+    entry_candidates: jax.Array,
+    signs: jax.Array,
+    queries: jax.Array,
+    params: SearchParams,
+    bits: int,
+    k: int,
+    beam_cap: int = 128,
+    max_steps: int = 512,
+    n_seeds: int = 4,
+    debug_state: bool = False,
+):
+    """DABS layer-0 search for a batch of queries.
+
+    Returns (ids (Q, k) int32, dists (Q, k) f32 exact squared L2, sorted).
+
+    entry_candidates: (M,) node ids — the hub entry plus a fixed sample of
+    the dataset.  Each query exact-scores all M candidates with ONE matmul
+    and seeds its beam with the n_seeds nearest.  This is the TPU-idiomatic
+    replacement for the reference's hierarchical greedy descent (SURVEY.md
+    section 7 "Option B": hub entry + sampled entry beam): a coarse O(M)
+    scan lands every query in its own region — and keeps recall on
+    multi-component graphs where NNDescent + alpha-CNG leave clusters
+    disconnected (the reference relies on its upper layers for this).
+    """
+    n, p = raw.shape
+    q = queries.shape[0]
+    r = neighbors.ids.shape[1]
+    k_scale = float((1 << bits) - 1)
+    msb_scale = 1.0 if bits < 2 else 3.0
+    num_levels = params.slack_levels.shape[0]
+
+    qpad = hadamard.pad_to(queries.astype(jnp.float32), p)
+    qc = quantize.encode_queries(qpad, signs)
+    qnorm = jnp.sum(qpad * qpad, axis=-1)
+    q_idx = jnp.arange(q)
+
+    # --- seed scan: exact distances to all entry candidates, top-S seed ---
+    cands = jnp.asarray(entry_candidates, jnp.int32).reshape(-1)
+    n_seeds = min(n_seeds, int(cands.shape[0]), beam_cap, k)
+    cand_dots = jnp.dot(
+        qpad, raw[cands].T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d_cand = jnp.maximum(
+        qnorm[:, None] + norm_sq[cands][None, :] - 2.0 * cand_dots, 0.0
+    )  # (Q, M)
+    neg_seed_d, seed_slot = jax.lax.top_k(-d_cand, n_seeds)
+    seeds = cands[seed_slot]                       # (Q, S)
+    seed_d = -neg_seed_d
+
+    beam_ids = jnp.full((q, beam_cap), -1, jnp.int32).at[:, :n_seeds].set(
+        seeds
+    )
+    beam_est = jnp.full((q, beam_cap), FLOAT_MAX).at[:, :n_seeds].set(seed_d)
+    beam_lower = jnp.zeros((q, beam_cap))
+    res_ids = jnp.full((q, k), -1, jnp.int32).at[:, :n_seeds].set(seeds)
+    res_d = jnp.full((q, k), FLOAT_MAX).at[:, :n_seeds].set(seed_d)
+    visited = (
+        jnp.zeros((q, n + 1), dtype=bool)
+        .at[q_idx[:, None], seeds]
+        .set(True)
+    )
+
+    state = BeamState(
+        beam_ids=beam_ids,
+        beam_est=beam_est,
+        beam_lower=beam_lower,
+        res_ids=res_ids,
+        res_d=res_d,
+        visited=visited,
+        gamma_q=jnp.broadcast_to(params.gamma, (q,)),
+        ratio_sum=jnp.zeros(q),
+        ratio_sq=jnp.zeros(q),
+        ratio_cnt=jnp.zeros(q, jnp.int32),
+        slack_cnt=jnp.zeros(q, jnp.int32),
+        done=jnp.zeros(q, dtype=bool),
+        steps=jnp.int32(0),
+    )
+
+    def cond(s: BeamState):
+        return (~s.done).any() & (s.steps < max_steps)
+
+    def body(s: BeamState) -> BeamState:
+        # ---- pop the best beam entry per query ----
+        best_slot = jnp.argmin(s.beam_est, axis=1)
+        best_est = jnp.take_along_axis(s.beam_est, best_slot[:, None], 1)[:, 0]
+        best_lower = jnp.take_along_axis(
+            s.beam_lower, best_slot[:, None], 1
+        )[:, 0]
+        cur = jnp.take_along_axis(s.beam_ids, best_slot[:, None], 1)[:, 0]
+
+        empty = best_est >= FLOAT_MAX
+        d_k = s.res_d[:, k - 1]
+        res_full = d_k < FLOAT_MAX
+        terminate = res_full & (best_est >= s.gamma_q * d_k)
+        done = s.done | empty | terminate
+        active = ~done
+
+        # remove the popped slot (for every still-active query)
+        onehot = (
+            jnp.arange(s.beam_est.shape[1])[None, :] == best_slot[:, None]
+        )
+        beam_est = jnp.where(active[:, None] & onehot, FLOAT_MAX, s.beam_est)
+
+        skip = res_full & (best_lower > d_k)       # :122
+        expand = active & ~skip
+        cur_safe = jnp.where(expand, cur, 0)
+
+        # ---- exact distance to the popped node = d_qp^2 ----
+        d_qp_sq = estimate.exact_l2_sq(
+            qpad, qnorm, raw[cur_safe][:, None, :], norm_sq[cur_safe][:, None]
+        )[:, 0]
+
+        # ---- slack-level escalation (:141-145) ----
+        level = jnp.minimum(s.slack_cnt, num_levels - 1)
+        dot_slack = params.slack_levels[level]
+        slack_cnt = s.slack_cnt + expand.astype(jnp.int32)
+
+        # ---- neighbor block: fastscan estimate + bounds ----
+        nbr_ids = neighbors.ids[cur_safe]                      # (Q, R)
+        valid = (nbr_ids >= 0) & expand[:, None]
+        nbr_safe = jnp.where(valid, nbr_ids, 0)
+
+        planes = neighbors.planes[cur_safe]                    # (Q,R,B,W)
+        u = pack.unpack_planes(planes, p)                      # (Q,R,P)
+        fs = jnp.einsum(
+            "qrp,qp->qr", u, qc.q_u, preferred_element_type=jnp.int32
+        )
+        wpc = neighbors.wpc[cur_safe]
+        ip_full = estimate.ip_from_fastscan(
+            fs, wpc,
+            qc.coeff_a[:, None], qc.coeff_b[:, None], qc.coeff_c[:, None],
+            k_scale,
+        )
+        if bits >= 2:
+            u_msb = pack.unpack_msb(planes, p, bits)
+            fs_msb = jnp.einsum(
+                "qrp,qp->qr", u_msb, qc.q_u, preferred_element_type=jnp.int32
+            )
+            wpc_msb = u_msb.sum(-1)
+            ip_bound = estimate.ip_from_fastscan(
+                fs_msb, wpc_msb,
+                qc.coeff_a[:, None], qc.coeff_b[:, None], qc.coeff_c[:, None],
+                msb_scale,
+            )
+        else:
+            ip_bound = ip_full
+
+        calib = estimate.CalibParams(
+            affine_a=params.affine_a,
+            affine_b=params.affine_b,
+            ip_qo_floor=params.ip_qo_floor,
+            dot_slack=dot_slack[:, None],
+        )
+        est, lower = estimate.distances_with_bounds(
+            ip_full, ip_bound,
+            neighbors.nop[cur_safe], neighbors.ip_qo[cur_safe],
+            neighbors.ip_cp[cur_safe], d_qp_sq[:, None], calib,
+        )
+
+        # ---- dedup + gates ----
+        seen = s.visited[q_idx[:, None], nbr_safe]
+        cand_ok = valid & ~seen
+        mark_idx = jnp.where(cand_ok, nbr_safe, n)   # n = trash column
+        visited = s.visited.at[q_idx[:, None], mark_idx].set(True)
+
+        warmup = ~res_full
+        pass_lower = warmup[:, None] | (lower < d_k[:, None])   # :246
+        cand_ok = cand_ok & pass_lower
+
+        rerank = cand_ok & (warmup[:, None] | (est < d_k[:, None]))  # :248
+        exact_nb = estimate.exact_l2_sq(
+            qpad, qnorm, raw[nbr_safe], norm_sq[nbr_safe]
+        )
+
+        # ---- result heap pushes (exact distances only) ----
+        push_d = jnp.where(rerank, exact_nb, FLOAT_MAX)
+        res_ids_new, res_d_new = _merge_results(
+            s.res_ids, s.res_d, nbr_ids, push_d, k
+        )
+        res_ids = jnp.where(expand[:, None], res_ids_new, s.res_ids)
+        res_d = jnp.where(expand[:, None], res_d_new, s.res_d)
+
+        # ---- DABS enqueue gate (:229-232, :248-271) ----
+        d_k_new = res_d[:, k - 1]
+        res_full_new = d_k_new < FLOAT_MAX
+        dabs_thresh = jnp.where(
+            res_full_new, s.gamma_q * d_k_new, FLOAT_MAX
+        )[:, None]
+        enq_val = jnp.where(rerank, exact_nb, est)
+        enq_lower = jnp.where(warmup[:, None], exact_nb, lower)
+        enq = cand_ok & (enq_val < dabs_thresh)
+
+        cand_est = jnp.where(enq, enq_val, FLOAT_MAX)
+        all_est = jnp.concatenate([beam_est, cand_est], axis=1)
+        all_ids = jnp.concatenate([s.beam_ids, nbr_ids], axis=1)
+        all_lower = jnp.concatenate([s.beam_lower, enq_lower], axis=1)
+        neg_top, slot = jax.lax.top_k(-all_est, beam_cap)
+        beam_est_new = -neg_top
+        beam_ids_new = jnp.take_along_axis(all_ids, slot, axis=1)
+        beam_lower_new = jnp.take_along_axis(all_lower, slot, axis=1)
+
+        beam_est = jnp.where(active[:, None], beam_est_new, s.beam_est)
+        beam_ids = jnp.where(active[:, None], beam_ids_new, s.beam_ids)
+        beam_lower = jnp.where(active[:, None], beam_lower_new, s.beam_lower)
+
+        # ---- online gamma_q adaptation (:255-267) ----
+        contrib = rerank & ~warmup[:, None] & (exact_nb > EPS_SMALL)
+        ratio = jnp.where(contrib, est / jnp.maximum(exact_nb, EPS_SMALL), 0.0)
+        ratio_sum = s.ratio_sum + jnp.where(expand, ratio.sum(1), 0.0)
+        ratio_sq = s.ratio_sq + jnp.where(expand, (ratio * ratio).sum(1), 0.0)
+        ratio_cnt = s.ratio_cnt + jnp.where(
+            expand, contrib.sum(1), 0
+        ).astype(jnp.int32)
+        cnt_f = jnp.maximum(ratio_cnt.astype(jnp.float32), 1.0)
+        r_mean = ratio_sum / cnt_f
+        r_var = jnp.maximum(ratio_sq / cnt_f - r_mean * r_mean, 0.0)
+        r_std = jnp.sqrt(r_var)
+        gamma_new = jnp.clip(
+            params.gamma * (1.0 + params.gamma_beta * r_std),
+            params.gamma,
+            params.gamma_max,
+        )
+        gamma_q = jnp.where(
+            expand & (ratio_cnt >= params.gamma_warmup), gamma_new, s.gamma_q
+        )
+
+        return BeamState(
+            beam_ids=beam_ids,
+            beam_est=beam_est,
+            beam_lower=beam_lower,
+            res_ids=res_ids,
+            res_d=res_d,
+            visited=visited,
+            gamma_q=gamma_q,
+            ratio_sum=ratio_sum,
+            ratio_sq=ratio_sq,
+            ratio_cnt=ratio_cnt,
+            slack_cnt=slack_cnt,
+            done=done,
+            steps=s.steps + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    ids = jnp.where(final.res_d < FLOAT_MAX, final.res_ids, -1)
+    if debug_state:
+        return ids, final.res_d, final
+    return ids, final.res_d

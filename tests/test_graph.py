@@ -1,0 +1,136 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cphnsw_tpu.graph import build, nndescent, pruning
+from cphnsw_tpu.ops import hadamard
+
+
+def make_data(rng, n=600, dim=32):
+    centers = rng.standard_normal((16, dim)).astype(np.float32) * 4.0
+    x = centers[rng.integers(0, 16, n)] + rng.standard_normal((n, dim)).astype(
+        np.float32
+    )
+    return x
+
+
+def test_nndescent_converges_to_knn(rng):
+    x = make_data(rng)
+    raw = jnp.asarray(x)
+    norm_sq = jnp.sum(raw * raw, -1)
+    wg = nndescent.run_adaptive(raw, norm_sq, r=16, seed=3)
+    recall = nndescent.knn_graph_recall(wg, x, k=8)
+    assert recall > 0.90, f"knn-graph recall@8 = {recall}"
+    ids = np.asarray(wg.ids)
+    # no self edges, no duplicates within a row
+    assert not (ids == np.arange(len(x))[:, None]).any()
+    for row in ids[:50]:
+        v = row[row >= 0]
+        assert len(np.unique(v)) == len(v)
+    # distances sorted ascending
+    d = np.asarray(wg.dists)
+    dv = np.where(ids >= 0, d, np.inf)
+    assert np.all(np.diff(dv, axis=1) >= -1e-5)
+
+
+def test_reverse_lists(rng):
+    ids = jnp.asarray(
+        np.array([[1, 2, -1], [0, 2, -1], [0, -1, -1], [0, 1, 2]], np.int32)
+    )
+    rev = np.asarray(
+        nndescent.reverse_lists(ids, jnp.asarray([0, 1], dtype=jnp.uint32), 3)
+    )
+    # node 0 is pointed to by 1, 2, 3
+    assert set(rev[0][rev[0] >= 0]) == {1, 2, 3}
+    assert set(rev[3][rev[3] >= 0]) == {1} or set(rev[3][rev[3] >= 0]) <= {1}
+
+
+def test_alpha_cng_matches_reference_semantics(rng):
+    """Compare the batched prune against a direct python port of the
+    reference selection rule on random candidate sets."""
+    n, c, r, dim = 12, 20, 6, 16
+    x = rng.standard_normal((n * 4, dim)).astype(np.float32)
+    raw = jnp.asarray(x)
+    norm_sq = jnp.sum(raw * raw, -1)
+    cand_ids = np.stack(
+        [rng.choice(len(x), c, replace=False) for _ in range(n)]
+    ).astype(np.int32)
+    nodes = np.arange(n)
+    cand_dists = ((x[nodes][:, None, :] - x[cand_ids]) ** 2).sum(-1).astype(
+        np.float32
+    )
+    alpha, tau, alpha_max = 1.2, 0.05, 2.4
+    err = np.zeros((n, c), np.float32)
+
+    ci, cd = pruning.prepare_candidates(
+        jnp.asarray(cand_ids), jnp.asarray(cand_dists)
+    )
+    pd = pruning.candidate_pair_dists(raw, norm_sq, ci)
+    sel_ids, sel_dists = pruning.select_alpha_cng(
+        ci, cd, pd, jnp.zeros_like(cd), alpha, tau, alpha_max, r
+    )
+    sel_ids = np.asarray(sel_ids)
+
+    # python port of reference select_neighbors_alpha_cng
+    def ref_select(ids, dists):
+        order = np.argsort(dists)
+        ids, dists = ids[order], dists[order]
+        local_alpha = np.clip(alpha * np.sqrt(len(ids) / r), 1.0, alpha_max)
+        selected = []
+        for i in range(len(ids)):
+            ok = True
+            for sid, _ in selected:
+                d_ce = ((x[ids[i]] - x[sid]) ** 2).sum()
+                if d_ce < local_alpha * dists[i] - (local_alpha - 1) * tau:
+                    ok = False
+                    break
+            if ok:
+                selected.append((ids[i], dists[i]))
+            if len(selected) == r:
+                break
+        chosen = [s for s, _ in selected]
+        for i in range(len(ids)):
+            if len(chosen) == r:
+                break
+            if ids[i] not in chosen:
+                chosen.append(ids[i])
+        return chosen
+
+    for i in range(n):
+        want = ref_select(cand_ids[i], cand_dists[i])
+        got = [v for v in sel_ids[i] if v >= 0]
+        assert got == want, f"node {i}: {got} != {want}"
+
+
+def test_build_graph_end_to_end(rng):
+    x = make_data(rng, n=500, dim=32)
+    p = hadamard.next_pow2(32)
+    signs = hadamard.rotation_signs(42, p)
+    raw = jnp.asarray(x)
+    norm_sq = jnp.sum(raw * raw, -1)
+    centroid = raw.mean(0)
+    node_nop = jnp.linalg.norm(raw - centroid, axis=-1)
+
+    res = build.build_graph(raw, norm_sq, node_nop, signs, bits=1, r=16)
+    ids = np.asarray(res.neighbors.ids)
+    n = len(x)
+    assert ids.shape == (n, 16)
+    assert 0 <= res.entry_point < n
+    # permutation is a bijection
+    assert sorted(res.old_to_new.tolist()) == list(range(n))
+    # most nodes should have a full neighbor list
+    assert (ids >= 0).sum(1).mean() > 12
+    # edge residual data consistent: nop equals actual ||neighbor - parent||
+    xp = np.asarray(res.raw)
+    sample = rng.integers(0, n, 64)
+    for i in sample:
+        for j in range(16):
+            v = ids[i, j]
+            if v < 0:
+                continue
+            want = np.linalg.norm(xp[v] - xp[i])
+            got = np.asarray(res.neighbors.nop)[i, j]
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    # BFS locality: neighbor ids should be near the node id on average
+    gap = np.abs(ids - np.arange(n)[:, None])[ids >= 0].mean()
+    assert gap < n / 2

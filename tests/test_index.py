@@ -1,0 +1,107 @@
+import numpy as np
+import pytest
+
+import cphnsw_tpu
+from cphnsw_tpu import CPIndex
+
+
+def make_data(rng, n=2500, dim=48, n_clusters=24):
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 4.0
+    x = centers[rng.integers(0, n_clusters, n)] + rng.standard_normal(
+        (n, dim)
+    ).astype(np.float32)
+    return x
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(11)
+    x = make_data(rng)
+    index = CPIndex(dim=x.shape[1], bits=1)
+    index.build(x)
+    index.finalize()
+    return index, x
+
+
+def test_index_lifecycle_flags(built):
+    index, x = built
+    assert index.is_finalized
+    assert index.size == len(x)
+    assert index.dim == x.shape[1]
+
+
+def test_index_recall(built, rng):
+    index, x = built
+    queries = x[rng.choice(len(x), 50, replace=False)] + 0.05 * (
+        rng.standard_normal((50, x.shape[1])).astype(np.float32)
+    )
+    d = ((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d, 1)[:, :10]
+    ids, dists = index.search_batch(queries, k=10)
+    recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
+    assert recall > 0.9, f"recall@10={recall}"
+    # ids are in the caller's original order with exact distances
+    rows = np.arange(len(queries))[:, None]
+    valid = ids >= 0
+    np.testing.assert_allclose(
+        dists[valid], d[rows, np.maximum(ids, 0)][valid], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_single_query_matches_batch(built, rng):
+    index, x = built
+    q = x[7] + 0.01 * rng.standard_normal(x.shape[1]).astype(np.float32)
+    ids1, d1 = index.search(q, k=5)
+    ids2, d2 = index.search_batch(q[None], k=5)
+    np.testing.assert_array_equal(ids1, ids2[0])
+
+
+def test_save_load_roundtrip(built, rng, tmp_path):
+    index, x = built
+    path = tmp_path / "index.npz"
+    index.save(path)
+
+    loaded = CPIndex(dim=x.shape[1], bits=1)
+    loaded.load(path)
+    assert loaded.is_finalized and loaded.size == index.size
+
+    queries = x[rng.choice(len(x), 20, replace=False)]
+    ids_a, d_a = index.search_batch(queries, k=10)
+    ids_b, d_b = loaded.search_batch(queries, k=10)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+
+
+def test_load_validates_params(built, tmp_path):
+    index, x = built
+    path = tmp_path / "index.npz"
+    index.save(path)
+    with pytest.raises(ValueError, match="bits/R"):
+        CPIndex(dim=x.shape[1], bits=2).load(path)
+    with pytest.raises(ValueError, match="dim"):
+        CPIndex(dim=x.shape[1] + 1, bits=1).load(path)
+
+
+def test_errors(built):
+    index = CPIndex(dim=8, bits=1)
+    with pytest.raises(RuntimeError):
+        index.search_batch(np.zeros((1, 8), np.float32), k=1)
+    with pytest.raises(RuntimeError):
+        index.finalize()
+    with pytest.raises(ValueError):
+        index.build(np.zeros((0, 8), np.float32))
+    with pytest.raises(ValueError):
+        cphnsw_tpu.CPIndex(dim=8, bits=3)
+    with pytest.raises(ValueError):
+        index.build(np.zeros((4, 9), np.float32))
+
+
+def test_k_larger_than_n():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((60, 16)).astype(np.float32)
+    index = CPIndex(dim=16, bits=1)
+    index.build(x)
+    index.finalize()
+    ids, dists = index.search_batch(x[:4], k=100)
+    assert ids.shape == (4, 100)
+    assert (ids[:, 60:] == -1).all()

@@ -1,0 +1,59 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cphnsw_tpu.calibration import calibrate as calib_mod
+from cphnsw_tpu.graph.build import NeighborStore
+from cphnsw_tpu.ops import hadamard
+from cphnsw_tpu.parallel import sharded
+from cphnsw_tpu.search import beam
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_search_matches_quality(rng):
+    n, dim = 1600, 32
+    centers = rng.standard_normal((16, dim)).astype(np.float32) * 4.0
+    x = centers[rng.integers(0, 16, n)] + rng.standard_normal((n, dim)).astype(
+        np.float32
+    )
+    signs = hadamard.rotation_signs(42, 32)
+
+    n_data, n_model = 2, 4
+    mesh = sharded.make_mesh(n_data, n_model)
+    store, new_to_old = sharded.build_sharded_store(
+        x, bits=1, r=16, n_shards=n_model, signs=signs
+    )
+    store = sharded.shard_store(store, mesh)
+
+    # calibrate once on shard 0's subgraph (cheap smoke-level calibration)
+    profile = calib_mod.IndexProfile.derive(n // n_model, 32, 16, 1)
+    nb0 = NeighborStore(
+        ids=store.nbr_ids[0], planes=store.nbr_planes[0],
+        nop=store.nbr_nop[0], ip_qo=store.nbr_ip_qo[0],
+        ip_cp=store.nbr_ip_cp[0], wpc=store.nbr_wpc[0],
+    )
+    snap = calib_mod.calibrate(
+        store.raw[0], store.norm_sq[0], nb0, signs, 1, profile
+    )
+    params = calib_mod.to_search_params(snap)
+
+    queries = x[rng.choice(n, 32, replace=False)]
+    d = ((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d, 1)[:, :10]
+
+    ids, dists = sharded.sharded_search(
+        store, jnp.asarray(queries), params, signs, mesh,
+        bits=1, k=10, beam_cap=64, max_steps=300,
+    )
+    ids = np.asarray(ids)
+    mapped = np.where(ids >= 0, new_to_old[np.maximum(ids, 0)], -1)
+    recall = (mapped[:, :, None] == gt[:, None, :]).any(-1).mean()
+    assert recall > 0.9, f"sharded recall@10={recall}"
+
+    # distances exact
+    valid = mapped >= 0
+    want = d[np.arange(len(queries))[:, None], np.maximum(mapped, 0)]
+    np.testing.assert_allclose(
+        np.asarray(dists)[valid], want[valid], rtol=1e-3, atol=1e-3
+    )
