@@ -15,6 +15,22 @@ Public API (mirrors reference `cphnsw.CPIndex`, src/bindings.cpp:115-240):
     save / load / size / dim / is_finalized
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: first-compile latency on remote TPU
+# backends is tens of seconds per program; cache hits are milliseconds.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir", _os.path.abspath(_cache)
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from cphnsw_tpu.api.index import CPIndex, Index
 
 __all__ = ["CPIndex", "Index"]

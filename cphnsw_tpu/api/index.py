@@ -51,11 +51,16 @@ class Index:
         bits: int = 1,
         r: int = DEFAULT_R,
         rotation_seed: int = hadamard.DEFAULT_ROTATION_SEED,
+        entry_strategy: str = "seed",
     ):
         if dim <= 0:
             raise ValueError("dim must be > 0")
         if bits not in (1, 2, 4):
             raise ValueError("bits must be one of {1, 2, 4}")
+        if entry_strategy not in ("seed", "hnsw"):
+            raise ValueError("entry_strategy must be 'seed' or 'hnsw'")
+        self._entry_strategy = entry_strategy
+        self._upper = None
         self._dim = dim
         self._bits = bits
         self._r = r
@@ -124,6 +129,12 @@ class Index:
         self._entry = res.entry_point
         self._stats = res.stats
         self._entry_candidates = self._make_entry_candidates()
+        if self._entry_strategy == "hnsw":
+            from cphnsw_tpu.api import upper_layers as ul
+
+            self._upper = ul.build_upper_layers(
+                self._raw, self._norm_sq, self._r, seed=self._seed
+            )
         n2o = np.empty(self._n, np.int64)
         n2o[res.old_to_new] = np.arange(self._n)
         self._new_to_old = n2o
@@ -157,9 +168,21 @@ class Index:
         k = max(int(k), 1)
         k_eff = min(k, self._n)
 
+        entry = self._entry_candidates
+        if self._entry_strategy == "hnsw" and self._upper is not None:
+            from cphnsw_tpu.api import upper_layers as ul
+
+            qpad = jnp.asarray(
+                np.pad(queries, [(0, 0), (0, self._padded - self._dim)])
+            )
+            qnorm = jnp.sum(qpad * qpad, -1)
+            entry = ul.greedy_descend(
+                self._upper, self._raw, self._norm_sq, qpad, qnorm
+            )[:, None]
+
         ids, dists = beam.search_batch(
             self._raw, self._norm_sq, self._neighbors,
-            self._entry_candidates, self._signs,
+            entry, self._signs,
             jnp.asarray(queries), self._params,
             bits=self._bits, k=k_eff,
             beam_cap=max(2 * self._r, 4 * k_eff),

@@ -62,23 +62,32 @@ def _chunked_prune(
     r, error_tolerance, chunk=8192,
 ):
     n = cand_ids.shape[0]
+    b = min(chunk, n)
     out_ids = np.empty((n, r), dtype=np.int32)
     out_dists = np.empty((n, r), dtype=np.float32)
-    for start in range(0, n, chunk):
-        stop = min(start + chunk, n)
-        ci = cand_ids[start:stop]
-        cd = cand_dists[start:stop]
-        ci, cd = pruning.prepare_candidates(ci, cd)
+
+    # single jitted dispatch per fixed-size chunk (remote backends make
+    # eager op-by-op dispatch prohibitively slow)
+    @jax.jit
+    def _prune_chunk(raw, norm_sq, node_nop, cand_ids, cand_dists, start):
+        idx = jnp.minimum(start + jnp.arange(b), n - 1)
+        ci, cd = pruning.prepare_candidates(cand_ids[idx], cand_dists[idx])
         pd = pruning.candidate_pair_dists(raw, norm_sq, ci)
         err = jnp.where(
             ci >= 0, error_tolerance * node_nop[jnp.maximum(ci, 0)], 0.0
         )
-        si, sd = pruning.select_alpha_cng(
+        return pruning.select_alpha_cng(
             ci, cd, pd, err,
             jnp.float32(alpha), jnp.float32(tau), jnp.float32(alpha_max), r,
         )
-        out_ids[start:stop] = np.asarray(si)
-        out_dists[start:stop] = np.asarray(sd)
+
+    for start in range(0, n, b):
+        stop = min(start + b, n)
+        si, sd = _prune_chunk(
+            raw, norm_sq, node_nop, cand_ids, cand_dists, jnp.int32(start)
+        )
+        out_ids[start:stop] = np.asarray(si)[: stop - start]
+        out_dists[start:stop] = np.asarray(sd)[: stop - start]
     return jnp.asarray(out_ids), jnp.asarray(out_dists)
 
 
@@ -123,38 +132,42 @@ def encode_neighbor_blocks(
     ip_cp = np.empty((n, r), dtype=np.float32)
     wpc = np.empty((n, r), dtype=np.int32)
 
+    b = min(chunk, n)
+
+    # single jitted dispatch per fixed-size chunk; invalid edges are
+    # masked device-side
     @jax.jit
-    def _encode_chunk(parents, nbr_vecs):
+    def _encode_chunk(raw, sel_ids, start):
+        idx = jnp.minimum(start + jnp.arange(b), n - 1)
+        ids_c = sel_ids[idx]
+        parents = raw[idx]
+        nbr_vecs = raw[jnp.maximum(ids_c, 0)]
         rot_parents = hadamard.rotate(parents, signs)
-        e = parents.shape[0]
         par_rep = jnp.repeat(parents, r, axis=0)
         rot_rep = jnp.repeat(rot_parents, r, axis=0)
         enc = quantize.encode_residuals(
-            par_rep, nbr_vecs.reshape(e * r, p), rot_rep, signs, bits
+            par_rep, nbr_vecs.reshape(b * r, p), rot_rep, signs, bits
         )
-        u = enc.u.reshape(e, r, p)
+        u = enc.u.reshape(b, r, p)
+        invalid = ids_c < 0
+        u = jnp.where(invalid[:, :, None], 0, u)
         return (
             pack.pack_planes(u, bits),
-            enc.nop.reshape(e, r),
-            enc.ip_qo.reshape(e, r),
-            enc.ip_cp.reshape(e, r),
-            u.sum(-1).astype(jnp.int32).reshape(e, r),
+            jnp.where(invalid, 0.0, enc.nop.reshape(b, r)),
+            jnp.where(invalid, 0.0, enc.ip_qo.reshape(b, r)),
+            jnp.where(invalid, 0.0, enc.ip_cp.reshape(b, r)),
+            jnp.where(invalid, 0, u.sum(-1).astype(jnp.int32)),
         )
 
-    for start in range(0, n, chunk):
-        stop = min(start + chunk, n)
-        ids_c = sel_ids[start:stop]
-        safe = jnp.maximum(ids_c, 0)
-        parents = raw[start:stop]
-        nbr_vecs = raw[safe]
-        pl, no, qo, cp, wp = _encode_chunk(parents, nbr_vecs)
-        invalid = np.asarray(ids_c) < 0
-        planes[start:stop] = np.asarray(pl)
-        nop[start:stop] = np.where(invalid, 0.0, np.asarray(no))
-        ip_qo[start:stop] = np.where(invalid, 0.0, np.asarray(qo))
-        ip_cp[start:stop] = np.where(invalid, 0.0, np.asarray(cp))
-        wpc[start:stop] = np.where(invalid, 0, np.asarray(wp))
-        planes[start:stop][invalid] = 0
+    for start in range(0, n, b):
+        stop = min(start + b, n)
+        pl, no, qo, cp, wp = _encode_chunk(raw, sel_ids, jnp.int32(start))
+        m = stop - start
+        planes[start:stop] = np.asarray(pl)[:m]
+        nop[start:stop] = np.asarray(no)[:m]
+        ip_qo[start:stop] = np.asarray(qo)[:m]
+        ip_cp[start:stop] = np.asarray(cp)[:m]
+        wpc[start:stop] = np.asarray(wp)[:m]
 
     return NeighborStore(
         ids=jnp.asarray(np.asarray(sel_ids)),
@@ -171,9 +184,13 @@ def find_hub_entry(raw, norm_sq, centroid, sel_ids) -> int:
     (rabitq_graph.hpp:280-328)."""
     n = raw.shape[0]
     top_k = max(1, int(math.isqrt(n)))
-    d = jnp.sum((raw - centroid) ** 2, axis=-1)
-    _, near = jax.lax.top_k(-d, top_k)
-    near = np.asarray(near)
+
+    @jax.jit
+    def _near(raw, centroid):
+        d = jnp.sum((raw - centroid) ** 2, axis=-1)
+        return jax.lax.top_k(-d, top_k)[1]
+
+    near = np.asarray(_near(raw, centroid))
     degrees = (np.asarray(sel_ids)[near] >= 0).sum(-1)
     return int(near[int(np.argmax(degrees))])
 
@@ -222,22 +239,33 @@ def build_graph(
     seed: int = 42,
     verbose: bool = False,
 ) -> BuildResult:
+    import time as _time
+
     n, p = raw.shape
     error_tolerance = 1.0 / math.sqrt(float(p))
 
+    def _tick(label, t0):
+        if verbose:
+            print(f"build_graph/{label}: {_time.time() - t0:.1f}s", flush=True)
+        return _time.time()
+
+    t = _time.time()
     centroid = jnp.mean(raw, axis=0)
 
     wg = nndescent.run_adaptive(raw, norm_sq, r, seed=seed, verbose=verbose)
+    t = _tick("nndescent", t)
 
     sample = int(math.isqrt(n))
     st = gstats.derive_graph_stats(
         raw, norm_sq, wg.ids, wg.dists, sample_size=max(sample, 16)
     )
+    t = _tick("stats", t)
 
     sel_ids, sel_dists = _chunked_prune(
         raw, norm_sq, wg.ids, wg.dists, node_nop,
         st.alpha, st.tau, st.alpha_max, r, error_tolerance,
     )
+    t = _tick("prune", t)
 
     # Reverse-edge pass: merge reverse candidates and re-prune every node.
     rev_ids, rev_dists = _reverse_candidates(sel_ids, sel_dists, r_rev=2 * r)
@@ -247,6 +275,7 @@ def build_graph(
         raw, norm_sq, all_ids, all_dists, node_nop,
         st.alpha, st.tau, st.alpha_max, r, error_tolerance,
     )
+    t = _tick("reverse+prune", t)
 
     hub = find_hub_entry(raw, norm_sq, centroid, sel_ids)
     old_to_new = bfs_order(np.asarray(sel_ids), hub)
@@ -259,8 +288,10 @@ def build_graph(
     raw_perm = raw[jnp.asarray(new_to_old)]
     norm_perm = norm_sq[jnp.asarray(new_to_old)]
     nop_perm = node_nop[jnp.asarray(new_to_old)]
+    t = _tick("reorder", t)
 
     neighbors = encode_neighbor_blocks(raw_perm, sel_ids_perm, signs, bits)
+    t = _tick("encode_blocks", t)
     entry = int(old_to_new[hub])
 
     return BuildResult(

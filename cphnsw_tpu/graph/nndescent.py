@@ -134,22 +134,29 @@ def init_random(
     ids_out = np.full((n, r), -1, dtype=np.int32)
     dists_out = np.full((n, r), np.finfo(np.float32).max, dtype=np.float32)
 
-    merge = jax.jit(
-        functools.partial(_merge_top_r, r=r), static_argnames=()
-    )
-    for start in range(0, n, chunk):
-        stop = min(start + chunk, n)
-        b = stop - start
-        key, sub = jax.random.split(key)
+    # one jitted program per chunk — everything device-side in a single
+    # dispatch (eager op-by-op is prohibitive on remote backends); chunks
+    # are fixed-size (tail padded with clamped node ids) so exactly one
+    # program compiles
+    b = min(chunk, n)
+
+    @jax.jit
+    def _init_chunk(raw, norm_sq, sub, start):
         cand = jax.random.randint(sub, (b, pool), 0, n, dtype=jnp.int32)
-        node_ids = jnp.arange(start, stop, dtype=jnp.int32)
+        node_ids = jnp.minimum(start + jnp.arange(b, dtype=jnp.int32), n - 1)
         d = _pairwise_dist_to_cands(raw, norm_sq, node_ids, cand)
         cand, d = _dedup_sort_pairs(cand, d)
         empty_ids = jnp.full((b, r), INVALID)
         empty_d = jnp.full((b, r), FLOAT_MAX)
-        mids, mdists, _, _ = merge(empty_ids, empty_d, cand, d)
-        ids_out[start:stop] = np.asarray(mids)
-        dists_out[start:stop] = np.asarray(mdists)
+        mids, mdists, _, _ = _merge_top_r(empty_ids, empty_d, cand, d, r)
+        return mids, mdists
+
+    for start in range(0, n, b):
+        stop = min(start + b, n)
+        key, sub = jax.random.split(key)
+        mids, mdists = _init_chunk(raw, norm_sq, sub, jnp.int32(start))
+        ids_out[start:stop] = np.asarray(mids)[: stop - start]
+        dists_out[start:stop] = np.asarray(mdists)[: stop - start]
 
     ids = jnp.asarray(ids_out)
     dists = jnp.asarray(dists_out)

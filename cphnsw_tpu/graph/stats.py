@@ -14,8 +14,12 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from cphnsw_tpu.calibration.huber import MAD_NORM_FACTOR
 from cphnsw_tpu.graph.pruning import candidate_pair_dists
+
+_pair_dists_jit = jax.jit(candidate_pair_dists)
 
 
 @dataclass
@@ -64,7 +68,7 @@ def derive_graph_stats(
 
     inter_limit = int(np.clip(2.0 * np.sqrt(r), 4, r))
     sub_ids = jnp.asarray(ids[sample][:, :inter_limit])
-    pd = np.asarray(candidate_pair_dists(raw, norm_sq, sub_ids))
+    pd = np.asarray(_pair_dists_jit(raw, norm_sq, sub_ids))
     iu = np.triu_indices(inter_limit, k=1)
     inter = pd[:, iu[0], iu[1]].ravel()
     inter = inter[np.isfinite(inter) & (inter < 1e30)]

@@ -166,10 +166,10 @@ def caq_quantize(
         def candidates_for(u_old):
             return jnp.broadcast_to(all_u[:, None], (k_int + 1, v))
 
-    def coord_step(i, carry):
-        codes_t, dot, norm, nchanged = carry
-        r_i = jax.lax.dynamic_slice_in_dim(rot_t, i, 1, axis=0)[0]      # (V,)
-        u_old = jax.lax.dynamic_slice_in_dim(codes_t, i, 1, axis=0)[0]  # (V,)
+    def coord_step(carry, xs):
+        """One coordinate update for the whole batch (scanned over P)."""
+        dot, norm, nchanged = carry
+        r_i, u_old = xs                                 # (V,), (V,)
         c_old = (2.0 * u_old.astype(jnp.float32) - k) / k
         dot_wo = dot - c_old * r_i
         norm_wo = norm - c_old * c_old
@@ -191,16 +191,15 @@ def caq_quantize(
         c_next = (2.0 * u_next.astype(jnp.float32) - k) / k
         dot = jnp.where(improved, dot_wo + c_next * r_i, dot)
         norm = jnp.where(improved, norm_wo + c_next * c_next, norm)
-        codes_t = jax.lax.dynamic_update_slice_in_dim(
-            codes_t, u_next[None], i, axis=0
-        )
         nchanged = nchanged + improved.astype(jnp.int32)
-        return codes_t, dot, norm, nchanged
+        return (dot, norm, nchanged), u_next
 
     def sweep(state):
         codes_t, dot, norm, prev_cos, it, _ = state
-        codes_t, dot, norm, nchanged = jax.lax.fori_loop(
-            0, p, coord_step, (codes_t, dot, norm, jnp.zeros(v, jnp.int32))
+        (dot, norm, nchanged), codes_t = jax.lax.scan(
+            coord_step,
+            (dot, norm, jnp.zeros(v, jnp.int32)),
+            (rot_t, codes_t),
         )
         cos_sq = dot * dot / jnp.maximum(norm, EPS_TINY)
         any_changed = jnp.any(nchanged > 0)

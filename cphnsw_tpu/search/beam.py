@@ -138,20 +138,33 @@ def search_batch(
     qnorm = jnp.sum(qpad * qpad, axis=-1)
     q_idx = jnp.arange(q)
 
-    # --- seed scan: exact distances to all entry candidates, top-S seed ---
-    cands = jnp.asarray(entry_candidates, jnp.int32).reshape(-1)
-    n_seeds = min(n_seeds, int(cands.shape[0]), beam_cap, k)
-    cand_dots = jnp.dot(
-        qpad, raw[cands].T,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d_cand = jnp.maximum(
-        qnorm[:, None] + norm_sq[cands][None, :] - 2.0 * cand_dots, 0.0
-    )  # (Q, M)
-    neg_seed_d, seed_slot = jax.lax.top_k(-d_cand, n_seeds)
-    seeds = cands[seed_slot]                       # (Q, S)
-    seed_d = -neg_seed_d
+    # --- seed selection ---
+    cands = jnp.asarray(entry_candidates, jnp.int32)
+    if cands.ndim == 2:
+        # per-query entry seeds (e.g. from HNSW upper-layer greedy descent)
+        n_seeds = min(int(cands.shape[1]), beam_cap, k)
+        seeds = cands[:, :n_seeds]
+        seed_d = estimate.exact_l2_sq(
+            qpad, qnorm, raw[seeds], norm_sq[seeds]
+        )
+        order = jnp.argsort(seed_d, axis=1)
+        seeds = jnp.take_along_axis(seeds, order, axis=1)
+        seed_d = jnp.take_along_axis(seed_d, order, axis=1)
+    else:
+        # seed scan: exact distances to the shared candidate pool, top-S
+        cands = cands.reshape(-1)
+        n_seeds = min(n_seeds, int(cands.shape[0]), beam_cap, k)
+        cand_dots = jnp.dot(
+            qpad, raw[cands].T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d_cand = jnp.maximum(
+            qnorm[:, None] + norm_sq[cands][None, :] - 2.0 * cand_dots, 0.0
+        )  # (Q, M)
+        neg_seed_d, seed_slot = jax.lax.top_k(-d_cand, n_seeds)
+        seeds = cands[seed_slot]                       # (Q, S)
+        seed_d = -neg_seed_d
 
     beam_ids = jnp.full((q, beam_cap), -1, jnp.int32).at[:, :n_seeds].set(
         seeds

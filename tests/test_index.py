@@ -105,3 +105,21 @@ def test_k_larger_than_n():
     ids, dists = index.search_batch(x[:4], k=100)
     assert ids.shape == (4, 100)
     assert (ids[:, 60:] == -1).all()
+
+
+def test_hnsw_entry_strategy(rng):
+    from cphnsw_tpu.api.index import Index
+
+    x = make_data(rng, n=2200, dim=32)
+    index = Index(dim=32, bits=1, entry_strategy="hnsw")
+    index.build(x)
+    index.finalize()
+    queries = x[rng.choice(len(x), 30, replace=False)]
+    d = ((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d, 1)[:, :10]
+    ids, _ = index.search_batch(queries, k=10)
+    recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
+    # hierarchical single-entry descent inherits the reference's fragility
+    # on clustered data (the measured reference scores ~0.43 here); the
+    # default seed-scan strategy reaches ~0.95.
+    assert recall > 0.75, f"hnsw-entry recall@10={recall}"
