@@ -61,6 +61,10 @@ class Index:
             raise ValueError("entry_strategy must be 'seed' or 'hnsw'")
         self._entry_strategy = entry_strategy
         self._upper = None
+        # beam entries expanded per search step: >1 trades a few wasted
+        # expansions for proportionally fewer (serial) while_loop steps —
+        # a large win on TPU where each step is latency-bound
+        self._expand_width = 4
         self._dim = dim
         self._bits = bits
         self._r = r
@@ -180,16 +184,31 @@ class Index:
                 self._upper, self._raw, self._norm_sq, qpad, qnorm
             )[:, None]
 
+        # pad the query batch to a power-of-two row count so jit compiles
+        # once per bucket instead of once per caller batch size
+        nq = len(queries)
+        bucket = 1 << max(6, (nq - 1).bit_length())
+        q_in = queries
+        if bucket != nq:
+            q_in = np.concatenate(
+                [queries, np.repeat(queries[-1:], bucket - nq, axis=0)]
+            )
+            if isinstance(entry, jnp.ndarray) and entry.ndim == 2:
+                entry = jnp.concatenate(
+                    [entry, jnp.repeat(entry[-1:], bucket - nq, axis=0)]
+                )
+
         ids, dists = beam.search_batch(
             self._raw, self._norm_sq, self._neighbors,
             entry, self._signs,
-            jnp.asarray(queries), self._params,
+            jnp.asarray(q_in), self._params,
             bits=self._bits, k=k_eff,
             beam_cap=max(2 * self._r, 4 * k_eff),
             max_steps=self._max_steps(),
+            expand_width=self._expand_width,
         )
-        ids = np.asarray(ids)
-        dists = np.asarray(dists)
+        ids = np.asarray(ids)[:nq]
+        dists = np.asarray(dists)[:nq]
         mapped = np.where(ids >= 0, self._new_to_old[np.maximum(ids, 0)], -1)
         if k_eff < k:  # pad like the reference bindings (-1 / FLT_MAX)
             pad_i = np.full((len(queries), k - k_eff), -1, np.int64)
@@ -216,7 +235,8 @@ class Index:
 
     def _max_steps(self) -> int:
         # generous pop budget; DABS termination fires far earlier
-        return int(np.clip(8 * np.sqrt(self._n) + 64, 128, 4096))
+        per_step = max(self._expand_width, 1)
+        return int(np.clip((8 * np.sqrt(self._n) + 64) / per_step, 128, 4096))
 
     # ------------------------------------------------------------- state
     @property
@@ -274,10 +294,7 @@ class Index:
             entry_candidates=np.asarray(self._entry_candidates),
             nbr_ids=np.asarray(self._neighbors.ids),
             nbr_planes=np.asarray(self._neighbors.planes),
-            nbr_nop=np.asarray(self._neighbors.nop),
-            nbr_ip_qo=np.asarray(self._neighbors.ip_qo),
-            nbr_ip_cp=np.asarray(self._neighbors.ip_cp),
-            nbr_wpc=np.asarray(self._neighbors.wpc),
+            nbr_aux=np.asarray(self._neighbors.aux),
         )
 
     def load(self, path: str | Path):
@@ -305,10 +322,7 @@ class Index:
             neighbors = NeighborStore(
                 ids=jnp.asarray(z["nbr_ids"]),
                 planes=jnp.asarray(z["nbr_planes"]),
-                nop=jnp.asarray(z["nbr_nop"]),
-                ip_qo=jnp.asarray(z["nbr_ip_qo"]),
-                ip_cp=jnp.asarray(z["nbr_ip_cp"]),
-                wpc=jnp.asarray(z["nbr_wpc"]),
+                aux=jnp.asarray(z["nbr_aux"]),
             )
             raw = jnp.asarray(z["raw"])
             norm_sq = jnp.asarray(z["norm_sq"])

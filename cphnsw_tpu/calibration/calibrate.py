@@ -152,14 +152,15 @@ def _collect_samples(
         u = pack.unpack_planes(neighbors.planes[parent], p)
         fs = jnp.einsum("qrp,qp->qr", u, qc.q_u,
                         preferred_element_type=jnp.int32)
+        aux = neighbors.aux[parent]                  # (Qc, R, 4)
         ip_approx = estimate.ip_from_fastscan(
-            fs, neighbors.wpc[parent],
+            fs, aux[..., 3],
             qc.coeff_a[:, None], qc.coeff_b[:, None], qc.coeff_c[:, None],
             k_scale,
         )
-        ip_corrected = ip_approx - neighbors.ip_cp[parent]
-        ip_qo = neighbors.ip_qo[parent]
-        nop = jnp.maximum(neighbors.nop[parent], EPS_SMALL)
+        ip_corrected = ip_approx - aux[..., 2]
+        ip_qo = aux[..., 1]
+        nop = jnp.maximum(aux[..., 0], EPS_SMALL)
         dist_qp_sq = estimate.exact_l2_sq(
             query_vecs, qnorm, raw[parent][:, None, :],
             norm_sq[parent][:, None],

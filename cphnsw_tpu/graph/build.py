@@ -36,14 +36,31 @@ from cphnsw_tpu.ops import hadamard, pack, quantize
 
 
 class NeighborStore(NamedTuple):
-    """Per-edge search data, SoA over (N, R) edges."""
+    """Per-edge search data, SoA over (N, R) edges.
+
+    The four float aux channels are packed into ONE (N, R, 4) array so the
+    per-step beam-search gather touches a single buffer instead of four
+    (gather launches are a fixed per-op cost inside the while_loop)."""
 
     ids: jax.Array      # (N, R) int32, -1 = none
     planes: jax.Array   # (N, R, bits, P//32) uint32 packed residual codes
-    nop: jax.Array      # (N, R) ||neighbor - parent||
-    ip_qo: jax.Array    # (N, R)
-    ip_cp: jax.Array    # (N, R)
-    wpc: jax.Array      # (N, R) int32 weighted popcounts
+    aux: jax.Array      # (N, R, 4) f32: [nop, ip_qo, ip_cp, wpc]
+
+    @property
+    def nop(self):
+        return self.aux[..., 0]
+
+    @property
+    def ip_qo(self):
+        return self.aux[..., 1]
+
+    @property
+    def ip_cp(self):
+        return self.aux[..., 2]
+
+    @property
+    def wpc(self):
+        return self.aux[..., 3]
 
 
 @dataclass
@@ -169,13 +186,13 @@ def encode_neighbor_blocks(
         ip_cp[start:stop] = np.asarray(cp)[:m]
         wpc[start:stop] = np.asarray(wp)[:m]
 
+    aux = np.stack(
+        [nop, ip_qo, ip_cp, wpc.astype(np.float32)], axis=-1
+    )
     return NeighborStore(
         ids=jnp.asarray(np.asarray(sel_ids)),
         planes=jnp.asarray(planes),
-        nop=jnp.asarray(nop),
-        ip_qo=jnp.asarray(ip_qo),
-        ip_cp=jnp.asarray(ip_cp),
-        wpc=jnp.asarray(wpc),
+        aux=jnp.asarray(aux),
     )
 
 

@@ -42,10 +42,7 @@ class ShardedStore(NamedTuple):
     norm_sq: jax.Array        # (S, N_s)
     nbr_ids: jax.Array        # (S, N_s, R)
     nbr_planes: jax.Array     # (S, N_s, R, B, W)
-    nbr_nop: jax.Array
-    nbr_ip_qo: jax.Array
-    nbr_ip_cp: jax.Array
-    nbr_wpc: jax.Array
+    nbr_aux: jax.Array        # (S, N_s, R, 4)
     entry_candidates: jax.Array  # (S, M)
 
 
@@ -88,15 +85,10 @@ def sharded_search(
     """
     n_local = store.raw.shape[1]
 
-    def local_search(
-        raw, norm_sq, ids, planes, nop, ip_qo, ip_cp, wpc, cands, q
-    ):
+    def local_search(raw, norm_sq, ids, planes, aux, cands, q):
         # shard_map hands us the local block with the sharded axis size 1
         raw, norm_sq = raw[0], norm_sq[0]
-        neighbors = NeighborStore(
-            ids=ids[0], planes=planes[0], nop=nop[0],
-            ip_qo=ip_qo[0], ip_cp=ip_cp[0], wpc=wpc[0],
-        )
+        neighbors = NeighborStore(ids=ids[0], planes=planes[0], aux=aux[0])
         local_ids, local_d = beam.search_batch(
             raw, norm_sq, neighbors, cands[0], signs, q, params,
             bits=bits, k=k, beam_cap=beam_cap, max_steps=max_steps,
@@ -116,7 +108,7 @@ def sharded_search(
         return jnp.take_along_axis(all_ids, sel, axis=1), -neg_top
 
     in_specs = (
-        *(P("model") for _ in range(9)),
+        *(P("model") for _ in range(6)),
         P("data", None),
     )
     out_specs = (P("data", None), P("data", None))
@@ -184,10 +176,7 @@ def build_sharded_store(
         parts["norm_sq"].append(np.asarray(res.norm_sq))
         parts["nbr_ids"].append(np.asarray(res.neighbors.ids))
         parts["nbr_planes"].append(np.asarray(res.neighbors.planes))
-        parts["nbr_nop"].append(np.asarray(res.neighbors.nop))
-        parts["nbr_ip_qo"].append(np.asarray(res.neighbors.ip_qo))
-        parts["nbr_ip_cp"].append(np.asarray(res.neighbors.ip_cp))
-        parts["nbr_wpc"].append(np.asarray(res.neighbors.wpc))
+        parts["nbr_aux"].append(np.asarray(res.neighbors.aux))
         parts["entry_candidates"].append(cand.astype(np.int32))
 
     store = ShardedStore(

@@ -96,7 +96,7 @@ def _merge_results(res_ids, res_d, cand_ids, cand_d, k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "debug_state"),
+    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "expand_width", "rerank_width", "debug_state"),
 )
 def search_batch(
     raw: jax.Array,
@@ -111,6 +111,8 @@ def search_batch(
     beam_cap: int = 128,
     max_steps: int = 512,
     n_seeds: int = 4,
+    expand_width: int = 1,
+    rerank_width: int = 0,
     debug_state: bool = False,
 ):
     """DABS layer-0 search for a batch of queries.
@@ -199,59 +201,64 @@ def search_batch(
         return (~s.done).any() & (s.steps < max_steps)
 
     def body(s: BeamState) -> BeamState:
-        # ---- pop the best beam entry per query ----
-        best_slot = jnp.argmin(s.beam_est, axis=1)
-        best_est = jnp.take_along_axis(s.beam_est, best_slot[:, None], 1)[:, 0]
-        best_lower = jnp.take_along_axis(
-            s.beam_lower, best_slot[:, None], 1
-        )[:, 0]
-        cur = jnp.take_along_axis(s.beam_ids, best_slot[:, None], 1)[:, 0]
+        # ---- pop the best E beam entries per query ----
+        neg_pop, pop_slots = jax.lax.top_k(-s.beam_est, expand_width)
+        pop_est = -neg_pop                                     # (Q, E) asc
+        pop_lower = jnp.take_along_axis(s.beam_lower, pop_slots, 1)
+        pop_ids = jnp.take_along_axis(s.beam_ids, pop_slots, 1)
+        pop_valid = pop_est < FLOAT_MAX
 
-        empty = best_est >= FLOAT_MAX
+        best_est = pop_est[:, 0]
+        empty = ~pop_valid[:, 0]
         d_k = s.res_d[:, k - 1]
         res_full = d_k < FLOAT_MAX
         terminate = res_full & (best_est >= s.gamma_q * d_k)
         done = s.done | empty | terminate
         active = ~done
 
-        # remove the popped slot (for every still-active query)
-        onehot = (
-            jnp.arange(s.beam_est.shape[1])[None, :] == best_slot[:, None]
+        # remove the popped slots (for every still-active query)
+        popped_mask = jnp.zeros_like(s.beam_est, dtype=bool).at[
+            q_idx[:, None], pop_slots
+        ].set(pop_valid)
+        beam_est = jnp.where(
+            active[:, None] & popped_mask, FLOAT_MAX, s.beam_est
         )
-        beam_est = jnp.where(active[:, None] & onehot, FLOAT_MAX, s.beam_est)
 
-        skip = res_full & (best_lower > d_k)       # :122
-        expand = active & ~skip
-        cur_safe = jnp.where(expand, cur, 0)
+        # per-entry lower-bound expansion skip (:122)
+        skip = res_full[:, None] & (pop_lower > d_k[:, None])
+        expand_e = active[:, None] & pop_valid & ~skip          # (Q, E)
+        expand = expand_e.any(1)
+        cur_safe = jnp.where(expand_e, pop_ids, 0)              # (Q, E)
 
-        # ---- exact distance to the popped node = d_qp^2 ----
+        # ---- exact distance to each popped node = d_qp^2 ----
         d_qp_sq = estimate.exact_l2_sq(
-            qpad, qnorm, raw[cur_safe][:, None, :], norm_sq[cur_safe][:, None]
-        )[:, 0]
+            qpad, qnorm, raw[cur_safe], norm_sq[cur_safe]
+        )                                                      # (Q, E)
 
         # ---- slack-level escalation (:141-145) ----
         level = jnp.minimum(s.slack_cnt, num_levels - 1)
         dot_slack = params.slack_levels[level]
-        slack_cnt = s.slack_cnt + expand.astype(jnp.int32)
+        slack_cnt = s.slack_cnt + expand_e.sum(1).astype(jnp.int32)
 
-        # ---- neighbor block: fastscan estimate + bounds ----
-        nbr_ids = neighbors.ids[cur_safe]                      # (Q, R)
-        valid = (nbr_ids >= 0) & expand[:, None]
+        # ---- neighbor blocks for all E popped nodes, flattened ----
+        er = expand_width * r
+        nbr_ids = neighbors.ids[cur_safe].reshape(q, er)
+        valid = (nbr_ids >= 0) & jnp.repeat(expand_e, r, axis=1)
         nbr_safe = jnp.where(valid, nbr_ids, 0)
 
-        planes = neighbors.planes[cur_safe]                    # (Q,R,B,W)
-        u = pack.unpack_planes(planes, p)                      # (Q,R,P)
+        planes = neighbors.planes[cur_safe]                    # (Q,E,R,B,W)
+        aux_g = neighbors.aux[cur_safe].reshape(q, er, 4)      # one gather
+        u = pack.unpack_planes(planes, p).reshape(q, er, p)
         fs = jnp.einsum(
             "qrp,qp->qr", u, qc.q_u, preferred_element_type=jnp.int32
         )
-        wpc = neighbors.wpc[cur_safe]
         ip_full = estimate.ip_from_fastscan(
-            fs, wpc,
+            fs, aux_g[..., 3],
             qc.coeff_a[:, None], qc.coeff_b[:, None], qc.coeff_c[:, None],
             k_scale,
         )
         if bits >= 2:
-            u_msb = pack.unpack_msb(planes, p, bits)
+            u_msb = pack.unpack_msb(planes, p, bits).reshape(q, er, p)
             fs_msb = jnp.einsum(
                 "qrp,qp->qr", u_msb, qc.q_u, preferred_element_type=jnp.int32
             )
@@ -270,15 +277,23 @@ def search_batch(
             ip_qo_floor=params.ip_qo_floor,
             dot_slack=dot_slack[:, None],
         )
+        d_qp_flat = jnp.repeat(d_qp_sq, r, axis=1)             # (Q, E*R)
         est, lower = estimate.distances_with_bounds(
             ip_full, ip_bound,
-            neighbors.nop[cur_safe], neighbors.ip_qo[cur_safe],
-            neighbors.ip_cp[cur_safe], d_qp_sq[:, None], calib,
+            aux_g[..., 0], aux_g[..., 1], aux_g[..., 2],
+            d_qp_flat, calib,
         )
 
         # ---- dedup + gates ----
         seen = s.visited[q_idx[:, None], nbr_safe]
-        cand_ok = valid & ~seen
+        # intra-step dedup: two popped nodes may share a neighbor — keep
+        # only the first occurrence within the flattened candidate row
+        same = nbr_ids[:, :, None] == nbr_ids[:, None, :]
+        earlier = (
+            jnp.arange(er)[None, :, None] > jnp.arange(er)[None, None, :]
+        )
+        dup_prior = (same & earlier & valid[:, None, :]).any(-1)
+        cand_ok = valid & ~seen & ~dup_prior
         mark_idx = jnp.where(cand_ok, nbr_safe, n)   # n = trash column
         visited = s.visited.at[q_idx[:, None], mark_idx].set(True)
 
@@ -287,14 +302,40 @@ def search_batch(
         cand_ok = cand_ok & pass_lower
 
         rerank = cand_ok & (warmup[:, None] | (est < d_k[:, None]))  # :248
-        exact_nb = estimate.exact_l2_sq(
-            qpad, qnorm, raw[nbr_safe], norm_sq[nbr_safe]
+
+        # ---- capped exact rerank: only the rerank_width best estimates
+        # fetch raw vectors (the bandwidth-dominant gather); the rest keep
+        # their estimates and get exact-scored if later popped ----
+        rw = min(rerank_width, er) if rerank_width > 0 else er
+        rr_score = jnp.where(rerank, est, FLOAT_MAX)
+        _, rr_slots = jax.lax.top_k(-rr_score, rw)             # (Q, rw)
+        rr_ok = jnp.take_along_axis(rerank, rr_slots, 1)
+        rr_node = jnp.take_along_axis(nbr_safe, rr_slots, 1)
+        exact_rr = estimate.exact_l2_sq(
+            qpad, qnorm, raw[rr_node], jnp.sum(
+                raw[rr_node] * raw[rr_node], axis=-1
+            )
         )
 
-        # ---- result heap pushes (exact distances only) ----
-        push_d = jnp.where(rerank, exact_nb, FLOAT_MAX)
+        # ---- result heap pushes: reranked candidates + popped nodes ----
+        # (popped nodes push their own exact distance, reference :132-133;
+        # dedup against existing results since a node may have been pushed
+        # at its rerank step already)
+        pop_in_res = (
+            (pop_ids[:, :, None] == s.res_ids[:, None, :])
+            & (pop_ids >= 0)[:, :, None]
+        ).any(-1)
+        pop_push_ok = expand_e & ~pop_in_res
+        push_ids = jnp.concatenate([rr_node, cur_safe], axis=1)
+        push_d = jnp.concatenate(
+            [
+                jnp.where(rr_ok, exact_rr, FLOAT_MAX),
+                jnp.where(pop_push_ok, d_qp_sq, FLOAT_MAX),
+            ],
+            axis=1,
+        )
         res_ids_new, res_d_new = _merge_results(
-            s.res_ids, s.res_d, nbr_ids, push_d, k
+            s.res_ids, s.res_d, push_ids, push_d, k
         )
         res_ids = jnp.where(expand[:, None], res_ids_new, s.res_ids)
         res_d = jnp.where(expand[:, None], res_d_new, s.res_d)
@@ -305,8 +346,11 @@ def search_batch(
         dabs_thresh = jnp.where(
             res_full_new, s.gamma_q * d_k_new, FLOAT_MAX
         )[:, None]
-        enq_val = jnp.where(rerank, exact_nb, est)
-        enq_lower = jnp.where(warmup[:, None], exact_nb, lower)
+        # reranked entries carry exact distances as beam priority
+        enq_val = est.at[q_idx[:, None], rr_slots].set(
+            jnp.where(rr_ok, exact_rr, jnp.take_along_axis(est, rr_slots, 1))
+        )
+        enq_lower = jnp.where(warmup[:, None], enq_val, lower)
         enq = cand_ok & (enq_val < dabs_thresh)
 
         cand_est = jnp.where(enq, enq_val, FLOAT_MAX)
@@ -323,8 +367,11 @@ def search_batch(
         beam_lower = jnp.where(active[:, None], beam_lower_new, s.beam_lower)
 
         # ---- online gamma_q adaptation (:255-267) ----
-        contrib = rerank & ~warmup[:, None] & (exact_nb > EPS_SMALL)
-        ratio = jnp.where(contrib, est / jnp.maximum(exact_nb, EPS_SMALL), 0.0)
+        est_rr = jnp.take_along_axis(est, rr_slots, 1)
+        contrib = rr_ok & ~warmup[:, None] & (exact_rr > EPS_SMALL)
+        ratio = jnp.where(
+            contrib, est_rr / jnp.maximum(exact_rr, EPS_SMALL), 0.0
+        )
         ratio_sum = s.ratio_sum + jnp.where(expand, ratio.sum(1), 0.0)
         ratio_sq = s.ratio_sq + jnp.where(expand, (ratio * ratio).sum(1), 0.0)
         ratio_cnt = s.ratio_cnt + jnp.where(

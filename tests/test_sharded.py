@@ -30,8 +30,7 @@ def test_sharded_search_matches_quality(rng):
     profile = calib_mod.IndexProfile.derive(n // n_model, 32, 16, 1)
     nb0 = NeighborStore(
         ids=store.nbr_ids[0], planes=store.nbr_planes[0],
-        nop=store.nbr_nop[0], ip_qo=store.nbr_ip_qo[0],
-        ip_cp=store.nbr_ip_cp[0], wpc=store.nbr_wpc[0],
+        aux=store.nbr_aux[0],
     )
     snap = calib_mod.calibrate(
         store.raw[0], store.norm_sq[0], nb0, signs, 1, profile
