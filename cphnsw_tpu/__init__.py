@@ -20,10 +20,15 @@ import os as _os
 # Persistent XLA compilation cache: first-compile latency on remote TPU
 # backends is tens of seconds per program; cache hits are milliseconds.
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-    _cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
     try:
         import jax as _jax
 
+        # per-platform subdirectory: AOT artifacts compiled for the remote
+        # TPU host poison a CPU process (and vice versa) if shared
+        _plat = (_jax.config.jax_platforms or "tpu").split(",")[0]
+        _cache = _os.path.join(
+            _os.path.dirname(__file__), "..", ".jax_cache", _plat
+        )
         _jax.config.update(
             "jax_compilation_cache_dir", _os.path.abspath(_cache)
         )

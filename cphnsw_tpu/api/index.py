@@ -52,6 +52,7 @@ class Index:
         r: int = DEFAULT_R,
         rotation_seed: int = hadamard.DEFAULT_ROTATION_SEED,
         entry_strategy: str = "seed",
+        metric: str = "l2",
     ):
         if dim <= 0:
             raise ValueError("dim must be > 0")
@@ -59,6 +60,15 @@ class Index:
             raise ValueError("bits must be one of {1, 2, 4}")
         if entry_strategy not in ("seed", "hnsw"):
             raise ValueError("entry_strategy must be 'seed' or 'hnsw'")
+        if metric not in ("l2", "ip"):
+            raise ValueError("metric must be 'l2' or 'ip'")
+        # Inner-product metric (reference is L2-only; BASELINE.json lists
+        # IP as an extension): MIPS reduces to L2 through the standard
+        # augmentation x' = [x, sqrt(M^2 - |x|^2)], q' = [q, 0]; argmax
+        # <q, x> == argmin |q' - x'|^2.  The EVT-CRC calibration then runs
+        # unchanged on the augmented space.
+        self._metric = metric
+        self._ip_norm_bound = None
         self._entry_strategy = entry_strategy
         self._upper = None
         # beam entries expanded per search step: >1 trades a few wasted
@@ -69,7 +79,8 @@ class Index:
         self._bits = bits
         self._r = r
         self._seed = rotation_seed
-        self._padded = hadamard.next_pow2(dim)
+        self._inner_dim = dim + 1 if metric == "ip" else dim
+        self._padded = hadamard.next_pow2(self._inner_dim)
         self._signs = hadamard.rotation_signs(rotation_seed, self._padded)
 
         self._finalized = False
@@ -101,6 +112,14 @@ class Index:
         if len(vectors) == 0:
             raise ValueError("build requires at least one vector.")
         self._n = len(vectors)
+        if self._metric == "ip":
+            norms_sq = (vectors.astype(np.float64) ** 2).sum(1)
+            bound_sq = float(norms_sq.max())
+            self._ip_norm_bound = bound_sq
+            aug = np.sqrt(np.maximum(bound_sq - norms_sq, 0.0))
+            vectors = np.concatenate(
+                [vectors, aug[:, None].astype(np.float32)], axis=1
+            )
         raw = hadamard.pad_to(jnp.asarray(vectors), self._padded)
         self._raw = raw
         self._norm_sq = jnp.sum(raw * raw, axis=-1)
@@ -171,13 +190,17 @@ class Index:
             )
         k = max(int(k), 1)
         k_eff = min(k, self._n)
+        if self._metric == "ip":
+            queries = np.concatenate(
+                [queries, np.zeros((len(queries), 1), np.float32)], axis=1
+            )
 
         entry = self._entry_candidates
         if self._entry_strategy == "hnsw" and self._upper is not None:
             from cphnsw_tpu.api import upper_layers as ul
 
             qpad = jnp.asarray(
-                np.pad(queries, [(0, 0), (0, self._padded - self._dim)])
+                np.pad(queries, [(0, 0), (0, self._padded - queries.shape[1])])
             )
             qnorm = jnp.sum(qpad * qpad, -1)
             entry = ul.greedy_descend(
@@ -209,6 +232,14 @@ class Index:
         )
         ids = np.asarray(ids)[:nq]
         dists = np.asarray(dists)[:nq]
+        if self._metric == "ip":
+            # |q'-x'|^2 = |q|^2 + M^2 - 2<q,x>  ->  <q,x>
+            qn = (queries[:nq, : self._dim] ** 2).sum(1, keepdims=True)
+            dists = np.where(
+                dists < np.finfo(np.float32).max,
+                (qn + self._ip_norm_bound - dists) / 2.0,
+                -np.inf,
+            ).astype(np.float32)
         mapped = np.where(ids >= 0, self._new_to_old[np.maximum(ids, 0)], -1)
         if k_eff < k:  # pad like the reference bindings (-1 / FLT_MAX)
             pad_i = np.full((len(queries), k - k_eff), -1, np.int64)

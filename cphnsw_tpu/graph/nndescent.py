@@ -203,7 +203,7 @@ def _prefer_new_sample(ids, flags, k_sample: int, key):
     return jnp.take_along_axis(ids, sel, axis=1), sel
 
 
-@functools.partial(jax.jit, static_argnames=("r",), donate_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnames=("r", "b", "n"))
 def _join_chunk(
     raw,
     norm_sq,
@@ -212,35 +212,54 @@ def _join_chunk(
     flags,
     rev,
     key,
+    start,
     r: int,
+    b: int,
+    n: int,
 ):
-    """One full join round over all nodes (single chunk variant)."""
-    n = ids.shape[0]
-    k1, k2, k3 = jax.random.split(key, 3)
+    """Join for one fixed-size block of nodes [start, start+b).
 
-    fwd_sample, fwd_sel = _prefer_new_sample(ids, flags, SAMPLE_FWD, k1)
-    rev_valid = rev >= 0
-    rev_sample, _ = _prefer_new_sample(
-        rev, rev_valid, SAMPLE_REV, k2
-    )
+    The candidate-distance gather materializes (b, C, P) floats — node
+    blocks keep that inside HBM at million scale (the whole-graph variant
+    would need N*C*P*4 bytes, ~150 GB at N=1M)."""
+    k1, k2 = jax.random.split(key, 2)
+    idx = jnp.minimum(start + jnp.arange(b, dtype=jnp.int32), n - 1)
+
+    my_ids = ids[idx]
+    my_flags = flags[idx]
+    my_rev = rev[idx]
+
+    fwd_sample, _ = _prefer_new_sample(my_ids, my_flags, SAMPLE_FWD, k1)
+    rev_valid = my_rev >= 0
+    rev_sample, _ = _prefer_new_sample(my_rev, rev_valid, SAMPLE_REV, k2)
 
     # Candidates: members of the sampled forward/reverse lists, plus the
     # reverse neighbors themselves.
     safe_f = jnp.maximum(fwd_sample, 0)
     safe_r = jnp.maximum(rev_sample, 0)
-    cand_f = ids[safe_f].reshape(n, -1)
-    cand_f = jnp.where((fwd_sample < 0)[:, :, None].repeat(r, 2).reshape(n, -1), INVALID, cand_f)
-    cand_r = ids[safe_r].reshape(n, -1)
-    cand_r = jnp.where((rev_sample < 0)[:, :, None].repeat(r, 2).reshape(n, -1), INVALID, cand_r)
-    cand = jnp.concatenate([cand_f, cand_r, rev], axis=1)
-
-    node_ids = jnp.arange(n, dtype=jnp.int32)
-    d = _pairwise_dist_to_cands(raw, norm_sq, node_ids, cand)
-    cand, d = _dedup_sort_pairs(cand, d)
-    new_ids, new_dists, new_flags, n_updates = _merge_top_r(
-        ids, dists, cand, d, r
+    cand_f = ids[safe_f].reshape(b, -1)
+    cand_f = jnp.where(
+        (fwd_sample < 0)[:, :, None].repeat(r, 2).reshape(b, -1),
+        INVALID, cand_f,
     )
+    cand_r = ids[safe_r].reshape(b, -1)
+    cand_r = jnp.where(
+        (rev_sample < 0)[:, :, None].repeat(r, 2).reshape(b, -1),
+        INVALID, cand_r,
+    )
+    cand = jnp.concatenate([cand_f, cand_r, my_rev], axis=1)
+
+    d = _pairwise_dist_to_cands(raw, norm_sq, idx, cand)
+    cand, d = _dedup_sort_pairs(cand, d)
+    new_ids, new_dists, new_flags, _ = _merge_top_r(
+        my_ids, dists[idx], cand, d, r
+    )
+    row_valid = (start + jnp.arange(b)) < n  # exclude clamped tail rows
+    n_updates = (new_flags & row_valid[:, None]).sum()
     return new_ids, new_dists, new_flags, n_updates
+
+
+JOIN_CHUNK = 32768
 
 
 def join_round(
@@ -248,12 +267,31 @@ def join_round(
 ) -> tuple[WorkingGraph, int]:
     """One NNDescent join round; returns the update count for the
     convergence controller."""
+    n = wg.ids.shape[0]
     k_rev, k_join = jax.random.split(round_key)
     rev = reverse_lists(wg.ids, k_rev, r)
-    ids, dists, flags, n_upd = _join_chunk(
-        raw, norm_sq, wg.ids, wg.dists, wg.flags, rev, k_join, r
-    )
-    return WorkingGraph(ids, dists, flags), int(n_upd)
+
+    b = min(JOIN_CHUNK, n)
+    ids_out = np.empty((n, r), np.int32)
+    dists_out = np.empty((n, r), np.float32)
+    flags_out = np.empty((n, r), bool)
+    total_upd = 0
+    for start in range(0, n, b):
+        stop = min(start + b, n)
+        k_join, k = jax.random.split(k_join)
+        new_ids, new_dists, new_flags, n_upd = _join_chunk(
+            raw, norm_sq, wg.ids, wg.dists, wg.flags, rev, k,
+            jnp.int32(start), r, b, n,
+        )
+        m = stop - start
+        ids_out[start:stop] = np.asarray(new_ids)[:m]
+        dists_out[start:stop] = np.asarray(new_dists)[:m]
+        flags_out[start:stop] = np.asarray(new_flags)[:m]
+        total_upd += int(n_upd)
+
+    return WorkingGraph(
+        jnp.asarray(ids_out), jnp.asarray(dists_out), jnp.asarray(flags_out)
+    ), total_upd
 
 
 def run_adaptive(

@@ -307,10 +307,16 @@ def search_batch(
         # fetch raw vectors (the bandwidth-dominant gather); the rest keep
         # their estimates and get exact-scored if later popped ----
         rw = min(rerank_width, er) if rerank_width > 0 else er
-        rr_score = jnp.where(rerank, est, FLOAT_MAX)
-        _, rr_slots = jax.lax.top_k(-rr_score, rw)             # (Q, rw)
-        rr_ok = jnp.take_along_axis(rerank, rr_slots, 1)
-        rr_node = jnp.take_along_axis(nbr_safe, rr_slots, 1)
+        if rw == er:
+            # rerank everything: no selection sort needed
+            rr_slots = jnp.broadcast_to(jnp.arange(er)[None, :], (q, er))
+            rr_ok = rerank
+            rr_node = nbr_safe
+        else:
+            rr_score = jnp.where(rerank, est, FLOAT_MAX)
+            _, rr_slots = jax.lax.top_k(-rr_score, rw)         # (Q, rw)
+            rr_ok = jnp.take_along_axis(rerank, rr_slots, 1)
+            rr_node = jnp.take_along_axis(nbr_safe, rr_slots, 1)
         exact_rr = estimate.exact_l2_sq(
             qpad, qnorm, raw[rr_node], jnp.sum(
                 raw[rr_node] * raw[rr_node], axis=-1
@@ -357,7 +363,13 @@ def search_batch(
         all_est = jnp.concatenate([beam_est, cand_est], axis=1)
         all_ids = jnp.concatenate([s.beam_ids, nbr_ids], axis=1)
         all_lower = jnp.concatenate([s.beam_lower, enq_lower], axis=1)
-        neg_top, slot = jax.lax.top_k(-all_est, beam_cap)
+        # approx_max_k: the beam is a heuristic frontier — TPU-optimized
+        # approximate selection replaces the full bitonic sort that
+        # dominates the per-step cost (exactness is only needed in the
+        # result heap, which uses exact top_k)
+        neg_top, slot = jax.lax.approx_max_k(
+            -all_est, beam_cap, recall_target=0.95
+        )
         beam_est_new = -neg_top
         beam_ids_new = jnp.take_along_axis(all_ids, slot, axis=1)
         beam_lower_new = jnp.take_along_axis(all_lower, slot, axis=1)

@@ -123,3 +123,30 @@ def test_hnsw_entry_strategy(rng):
     # on clustered data (the measured reference scores ~0.43 here); the
     # default seed-scan strategy reaches ~0.95.
     assert recall > 0.75, f"hnsw-entry recall@10={recall}"
+
+
+def test_ip_metric(rng):
+    from cphnsw_tpu.api.index import Index
+
+    # clustered base with varied norms (unstructured uniform data makes the
+    # MIPS->L2 augmentation a near-uniform sphere, adversarial for ANY
+    # graph-ANN method — real embedding corpora are clustered)
+    x = make_data(rng, n=3000, dim=24)
+    x *= rng.uniform(0.7, 1.4, size=(3000, 1)).astype(np.float32)
+    index = Index(dim=24, bits=1, metric="ip")
+    index.build(x)
+    index.finalize()
+    queries = rng.standard_normal((25, 24)).astype(np.float32)
+    ips = queries @ x.T
+    gt = np.argsort(-ips, axis=1)[:, :10]
+    ids, scores = index.search_batch(queries, k=10)
+    recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
+    assert recall > 0.78, f"ip recall@10={recall}"  # MIPS is harder than L2
+    # returned scores are the inner products, descending
+    rows = np.arange(len(queries))[:, None]
+    valid = ids >= 0
+    np.testing.assert_allclose(
+        scores[valid], ips[rows, np.maximum(ids, 0)][valid], rtol=1e-3,
+        atol=1e-3,
+    )
+    assert np.all(np.diff(np.where(valid, scores, -np.inf), axis=1) <= 1e-4)
