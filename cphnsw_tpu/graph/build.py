@@ -112,6 +112,14 @@ def _reverse_candidates(sel_ids, sel_dists, r_rev: int):
     """Reverse edges capped at r_rev per target, keeping the closest
     sources (replacing the unbounded reverse_cands vectors,
     graph_refinement.hpp:393-402)."""
+    from cphnsw_tpu.utils import native
+
+    nat = native.reverse_topk(
+        np.asarray(sel_ids), np.asarray(sel_dists), r_rev
+    )
+    if nat is not None:
+        return jnp.asarray(nat[0]), jnp.asarray(nat[1])
+
     n, r = sel_ids.shape
     src = np.broadcast_to(
         np.arange(n, dtype=np.int64)[:, None], (n, r)
@@ -213,8 +221,14 @@ def find_hub_entry(raw, norm_sq, centroid, sel_ids) -> int:
 
 
 def bfs_order(sel_ids: np.ndarray, entry: int) -> np.ndarray:
-    """BFS permutation old_to_new (rabitq_graph.hpp:204-278), host-side
-    numpy with per-level frontier expansion."""
+    """BFS permutation old_to_new (rabitq_graph.hpp:204-278); native C
+    implementation with a numpy per-level fallback."""
+    from cphnsw_tpu.utils import native
+
+    nat = native.bfs_order(sel_ids, entry)
+    if nat is not None:
+        return nat
+
     n, _ = sel_ids.shape
     visited = np.zeros(n, dtype=bool)
     order = np.empty(n, dtype=np.int64)

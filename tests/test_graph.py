@@ -134,3 +134,33 @@ def test_build_graph_end_to_end(rng):
     # BFS locality: neighbor ids should be near the node id on average
     gap = np.abs(ids - np.arange(n)[:, None])[ids >= 0].mean()
     assert gap < n / 2
+
+
+def test_native_hostops_match_numpy(rng):
+    """The C host-ops must agree with the numpy fallbacks."""
+    from cphnsw_tpu.utils import native
+
+    n, r = 500, 8
+    ids = rng.integers(-1, n, (n, r)).astype(np.int32)
+    dists = rng.random((n, r)).astype(np.float32)
+    dists[ids < 0] = np.finfo(np.float32).max
+
+    nat_bfs = native.bfs_order(ids, 3)
+    assert nat_bfs is not None, "native toolchain should be available here"
+    # permutation validity + BFS start
+    assert sorted(nat_bfs.tolist()) == list(range(n))
+    assert nat_bfs[3] == 0
+
+    nat = native.reverse_topk(ids, dists, 4)
+    assert nat is not None
+    rev_ids, rev_d = nat
+    # verify per-target content vs brute force
+    for v in [0, 7, 123, n - 1]:
+        src_mask = ids == v
+        srcs = np.where(src_mask.any(1))[0]
+        want_d = np.sort(
+            [dists[u][ids[u] == v].min() for u in srcs]
+        )[:4]
+        got = np.sort(rev_d[v][rev_ids[v] >= 0])
+        np.testing.assert_allclose(got, want_d[: len(got)], rtol=1e-6)
+        assert len(got) == min(len(srcs), 4)

@@ -56,3 +56,71 @@ def test_sharded_search_matches_quality(rng):
     np.testing.assert_allclose(
         np.asarray(dists)[valid], want[valid], rtol=1e-3, atol=1e-3
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_single_vs_multi_shard_equivalence(rng):
+    """A 1-model-shard mesh must reproduce the plain single-device search
+    exactly (SURVEY section 4: single-chip vs sharded equality)."""
+    n, dim = 600, 16
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    signs = hadamard.rotation_signs(42, 16)
+
+    mesh = sharded.make_mesh(2, 1)
+    store, new_to_old = sharded.build_sharded_store(
+        x, bits=1, r=8, n_shards=1, signs=signs
+    )
+    store_sh = sharded.shard_store(store, mesh)
+
+    params = beam.SearchParams.default()._replace(
+        slack_levels=jnp.full(4, 2.0, jnp.float32),
+        gamma=jnp.float32(2.0), gamma_max=jnp.float32(3.0),
+    )
+    queries = x[rng.choice(n, 16, replace=False)]
+
+    ids_sh, d_sh = sharded.sharded_search(
+        store_sh, jnp.asarray(queries), params, signs, mesh,
+        bits=1, k=5, beam_cap=32, max_steps=64,
+    )
+    nb = NeighborStore(
+        ids=store.nbr_ids[0], planes=store.nbr_planes[0],
+        aux=store.nbr_aux[0],
+    )
+    ids_1, d_1 = beam.search_batch(
+        store.raw[0], store.norm_sq[0], nb, store.entry_candidates[0],
+        signs, jnp.asarray(queries), params, bits=1, k=5,
+        beam_cap=32, max_steps=64,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_sh), np.asarray(ids_1))
+    np.testing.assert_allclose(
+        np.asarray(d_sh), np.asarray(d_1), rtol=1e-6
+    )
+
+
+def test_search_determinism(rng):
+    """Functional purity: identical inputs give identical outputs."""
+    n, dim = 500, 16
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    signs = hadamard.rotation_signs(42, 16)
+    store, _ = sharded.build_sharded_store(
+        x, bits=1, r=8, n_shards=1, signs=signs
+    )
+    nb = NeighborStore(
+        ids=store.nbr_ids[0], planes=store.nbr_planes[0],
+        aux=store.nbr_aux[0],
+    )
+    params = beam.SearchParams.default()._replace(
+        slack_levels=jnp.full(4, 2.0, jnp.float32),
+        gamma=jnp.float32(2.0), gamma_max=jnp.float32(3.0),
+    )
+    q = jnp.asarray(x[:8])
+    out1 = beam.search_batch(
+        store.raw[0], store.norm_sq[0], nb, store.entry_candidates[0],
+        signs, q, params, bits=1, k=5, beam_cap=32, max_steps=64,
+    )
+    out2 = beam.search_batch(
+        store.raw[0], store.norm_sq[0], nb, store.entry_candidates[0],
+        signs, q, params, bits=1, k=5, beam_cap=32, max_steps=64,
+    )
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+    np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
