@@ -80,11 +80,9 @@ def _chunked_prune(
 ):
     n = cand_ids.shape[0]
     b = min(chunk, n)
-    out_ids = np.empty((n, r), dtype=np.int32)
-    out_dists = np.empty((n, r), dtype=np.float32)
 
     # single jitted dispatch per fixed-size chunk (remote backends make
-    # eager op-by-op dispatch prohibitively slow)
+    # eager op-by-op dispatch prohibitively slow); device-side accumulation
     @jax.jit
     def _prune_chunk(raw, norm_sq, node_nop, cand_ids, cand_dists, start):
         idx = jnp.minimum(start + jnp.arange(b), n - 1)
@@ -98,14 +96,18 @@ def _chunked_prune(
             jnp.float32(alpha), jnp.float32(tau), jnp.float32(alpha_max), r,
         )
 
-    for start in range(0, n, b):
-        stop = min(start + b, n)
-        si, sd = _prune_chunk(
+    parts = [
+        _prune_chunk(
             raw, norm_sq, node_nop, cand_ids, cand_dists, jnp.int32(start)
         )
-        out_ids[start:stop] = np.asarray(si)[: stop - start]
-        out_dists[start:stop] = np.asarray(sd)[: stop - start]
-    return jnp.asarray(out_ids), jnp.asarray(out_dists)
+        for start in range(0, n, b)
+    ]
+    if len(parts) == 1:
+        si, sd = parts[0]
+    else:
+        si = jnp.concatenate([p[0] for p in parts], axis=0)
+        sd = jnp.concatenate([p[1] for p in parts], axis=0)
+    return si[:n], sd[:n]
 
 
 def _reverse_candidates(sel_ids, sel_dists, r_rev: int):
@@ -150,13 +152,6 @@ def encode_neighbor_blocks(
     rotates+quantizes chunk*R residual vectors in one program."""
     n, r = sel_ids.shape
     p = signs.shape[-1]
-    w = pack.num_words(p)
-    planes = np.empty((n, r, bits, w), dtype=np.uint32)
-    nop = np.empty((n, r), dtype=np.float32)
-    ip_qo = np.empty((n, r), dtype=np.float32)
-    ip_cp = np.empty((n, r), dtype=np.float32)
-    wpc = np.empty((n, r), dtype=np.int32)
-
     b = min(chunk, n)
 
     # single jitted dispatch per fixed-size chunk; invalid edges are
@@ -184,23 +179,25 @@ def encode_neighbor_blocks(
             jnp.where(invalid, 0, u.sum(-1).astype(jnp.int32)),
         )
 
-    for start in range(0, n, b):
-        stop = min(start + b, n)
-        pl, no, qo, cp, wp = _encode_chunk(raw, sel_ids, jnp.int32(start))
-        m = stop - start
-        planes[start:stop] = np.asarray(pl)[:m]
-        nop[start:stop] = np.asarray(no)[:m]
-        ip_qo[start:stop] = np.asarray(qo)[:m]
-        ip_cp[start:stop] = np.asarray(cp)[:m]
-        wpc[start:stop] = np.asarray(wp)[:m]
-
-    aux = np.stack(
-        [nop, ip_qo, ip_cp, wpc.astype(np.float32)], axis=-1
+    parts = [
+        _encode_chunk(raw, sel_ids, jnp.int32(start))
+        for start in range(0, n, b)
+    ]
+    if len(parts) == 1:
+        pl, no, qo, cp, wp = parts[0]
+    else:
+        pl = jnp.concatenate([x[0] for x in parts], axis=0)
+        no = jnp.concatenate([x[1] for x in parts], axis=0)
+        qo = jnp.concatenate([x[2] for x in parts], axis=0)
+        cp = jnp.concatenate([x[3] for x in parts], axis=0)
+        wp = jnp.concatenate([x[4] for x in parts], axis=0)
+    aux = jnp.stack(
+        [no[:n], qo[:n], cp[:n], wp[:n].astype(jnp.float32)], axis=-1
     )
     return NeighborStore(
-        ids=jnp.asarray(np.asarray(sel_ids)),
-        planes=jnp.asarray(planes),
-        aux=jnp.asarray(aux),
+        ids=jnp.asarray(sel_ids),
+        planes=pl[:n],
+        aux=aux,
     )
 
 

@@ -131,13 +131,10 @@ def init_random(
     pool = max(pool, min(r, n - 1))
     key = jax.random.PRNGKey(seed)
 
-    ids_out = np.full((n, r), -1, dtype=np.int32)
-    dists_out = np.full((n, r), np.finfo(np.float32).max, dtype=np.float32)
-
     # one jitted program per chunk — everything device-side in a single
     # dispatch (eager op-by-op is prohibitive on remote backends); chunks
     # are fixed-size (tail padded with clamped node ids) so exactly one
-    # program compiles
+    # program compiles; outputs accumulate on device
     b = min(chunk, n)
 
     @jax.jit
@@ -151,15 +148,16 @@ def init_random(
         mids, mdists, _, _ = _merge_top_r(empty_ids, empty_d, cand, d, r)
         return mids, mdists
 
+    parts = []
     for start in range(0, n, b):
-        stop = min(start + b, n)
         key, sub = jax.random.split(key)
-        mids, mdists = _init_chunk(raw, norm_sq, sub, jnp.int32(start))
-        ids_out[start:stop] = np.asarray(mids)[: stop - start]
-        dists_out[start:stop] = np.asarray(mdists)[: stop - start]
-
-    ids = jnp.asarray(ids_out)
-    dists = jnp.asarray(dists_out)
+        parts.append(_init_chunk(raw, norm_sq, sub, jnp.int32(start)))
+    if len(parts) == 1:
+        ids, dists = parts[0]
+    else:
+        ids = jnp.concatenate([p[0] for p in parts], axis=0)
+        dists = jnp.concatenate([p[1] for p in parts], axis=0)
+    ids, dists = ids[:n], dists[:n]
     return WorkingGraph(ids=ids, dists=dists, flags=ids >= 0)
 
 
@@ -183,8 +181,17 @@ def reverse_lists(ids: jax.Array, key: jax.Array, r_rev: int) -> jax.Array:
     order = order_p[jnp.argsort(tgt_safe[order_p], stable=True)]
     tgt_sorted = tgt_safe[order]
     src_sorted = src[order]
-    first = jnp.searchsorted(tgt_sorted, tgt_sorted, side="left")
-    rank = jnp.arange(tgt_sorted.shape[0]) - first
+    # rank within each target group = idx - position of the group start,
+    # via an associative cummax (cheaper on TPU than searchsorted's
+    # per-element binary search)
+    e_total = tgt_sorted.shape[0]
+    idx_arr = jnp.arange(e_total)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), tgt_sorted[1:] != tgt_sorted[:-1]]
+    )
+    start_pos = jnp.where(is_start, idx_arr, 0)
+    first = jax.lax.associative_scan(jnp.maximum, start_pos)
+    rank = idx_arr - first
     rev = jnp.full((n + 1, r_rev), INVALID)
     rev = rev.at[tgt_sorted, jnp.minimum(rank, r_rev - 1)].set(
         jnp.where(rank < r_rev, src_sorted, INVALID), mode="drop"
@@ -272,26 +279,31 @@ def join_round(
     rev = reverse_lists(wg.ids, k_rev, r)
 
     b = min(JOIN_CHUNK, n)
-    ids_out = np.empty((n, r), np.int32)
-    dists_out = np.empty((n, r), np.float32)
-    flags_out = np.empty((n, r), bool)
-    total_upd = 0
+    # accumulate chunk outputs on DEVICE (host round-trips over the remote
+    # tunnel would move GBs per round)
+    parts = []
+    upds = []
     for start in range(0, n, b):
-        stop = min(start + b, n)
         k_join, k = jax.random.split(k_join)
-        new_ids, new_dists, new_flags, n_upd = _join_chunk(
+        out = _join_chunk(
             raw, norm_sq, wg.ids, wg.dists, wg.flags, rev, k,
             jnp.int32(start), r, b, n,
         )
-        m = stop - start
-        ids_out[start:stop] = np.asarray(new_ids)[:m]
-        dists_out[start:stop] = np.asarray(new_dists)[:m]
-        flags_out[start:stop] = np.asarray(new_flags)[:m]
-        total_upd += int(n_upd)
+        parts.append(out[:3])
+        upds.append(out[3])
 
-    return WorkingGraph(
-        jnp.asarray(ids_out), jnp.asarray(dists_out), jnp.asarray(flags_out)
-    ), total_upd
+    if len(parts) == 1:
+        ids_out, dists_out, flags_out = parts[0]
+    else:
+        ids_out = jnp.concatenate([p[0] for p in parts], axis=0)
+        dists_out = jnp.concatenate([p[1] for p in parts], axis=0)
+        flags_out = jnp.concatenate([p[2] for p in parts], axis=0)
+    ids_out = ids_out[:n]
+    dists_out = dists_out[:n]
+    flags_out = flags_out[:n]
+    total_upd = int(jnp.stack(upds).sum())  # one host sync per round
+
+    return WorkingGraph(ids_out, dists_out, flags_out), total_upd
 
 
 def run_adaptive(
