@@ -165,6 +165,7 @@ class Index:
         self._snapshot = calib_mod.calibrate(
             self._raw, self._norm_sq, self._neighbors, self._signs,
             self._bits, self._profile, seed=self._seed + 99999,
+            verbose=verbose,
         )
         self._params = calib_mod.to_search_params(self._snapshot)
 

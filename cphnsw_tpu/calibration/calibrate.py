@@ -120,8 +120,11 @@ def _collect_samples(
     p = signs.shape[-1]
     k_scale = float((1 << bits) - 1)
 
+    # NOTE: raw/norm_sq/neighbors must be ARGUMENTS, not closures — the
+    # remote-compile backend serializes closure constants into the compile
+    # request (GBs at 1M nodes -> broken pipe).
     @jax.jit
-    def run(query_vecs, parent0):
+    def run(raw, norm_sq, neighbors, signs, query_vecs, parent0):
         qnorm = jnp.sum(query_vecs * query_vecs, axis=-1)
         # one-hop greedy: parent0 vs its neighbors
         nbr0 = neighbors.ids[parent0]                       # (Qc, R)
@@ -178,7 +181,7 @@ def _collect_samples(
         return (nn_dist_sq, ip_corrected, ip_qo, nop, dist_qp_sq,
                 true_ip, true_dist, valid)
 
-    out = run(query_vecs, parent0)
+    out = run(raw, norm_sq, neighbors, signs, query_vecs, parent0)
     return [np.asarray(o) for o in out]
 
 
@@ -190,8 +193,19 @@ def calibrate(
     bits: int,
     profile: IndexProfile,
     seed: int = 42 + 99999,
+    verbose: bool = False,
 ) -> CalibrationSnapshot:
     """Full calibration (hnsw_index.hpp:718-1139)."""
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _tick(label):
+        nonlocal _t0
+        if verbose:
+            print(f"calibrate/{label}: {_time.time() - _t0:.1f}s", flush=True)
+        _t0 = _time.time()
+
     n, p = raw.shape
     if n < MIN_CALIBRATE_NODES:
         raise RuntimeError("Calibration requires at least 50 nodes.")
@@ -225,11 +239,13 @@ def calibrate(
     # the cursor keeps the nn-distance samples meaningful.
     parent0 = sample_ids[(np.arange(len(queries)) + 1) % n].astype(np.int32)
 
+    _tick("prep")
     (nn_dist_sq, ip_corrected, ip_qo, nop, dist_qp_sq, true_ip,
      true_dist, valid) = _collect_samples(
         raw, norm_sq, neighbors, signs, bits,
         jnp.asarray(queries), jnp.asarray(parent0),
     )
+    _tick("device_samples")
 
     v = valid.ravel()
     ip_corrected_f = ip_corrected.ravel()[v]
@@ -279,9 +295,11 @@ def calibrate(
     n_resid = dist_residuals.size
     evt_thresh_min = max(1.0 - 1.0 / math.sqrt(max(n_resid, 4)), 0.5)
     evt_thresh_max = 1.0 - profile.evt_min_tail / max(n_resid, 1)
+    _tick("huber+floor")
     snap.evt = evt.fit_gpd_stable(
         dist_residuals, profile.evt_min_tail, evt_thresh_min, evt_thresh_max
     )
+    _tick("evt_fit")
 
     if nop_f.size == 0:
         raise RuntimeError("Calibration failed: no nop samples.")
