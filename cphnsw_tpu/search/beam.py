@@ -96,7 +96,7 @@ def _merge_results(res_ids, res_d, cand_ids, cand_d, k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "expand_width", "rerank_width", "debug_state"),
+    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "expand_width", "rerank_width", "visited_hash_bits", "debug_state"),
 )
 def search_batch(
     raw: jax.Array,
@@ -113,6 +113,7 @@ def search_batch(
     n_seeds: int = 4,
     expand_width: int = 1,
     rerank_width: int = 0,
+    visited_hash_bits: int = 0,
     debug_state: bool = False,
 ):
     """DABS layer-0 search for a batch of queries.
@@ -175,11 +176,26 @@ def search_batch(
     beam_lower = jnp.zeros((q, beam_cap))
     res_ids = jnp.full((q, k), -1, jnp.int32).at[:, :n_seeds].set(seeds)
     res_d = jnp.full((q, k), FLOAT_MAX).at[:, :n_seeds].set(seed_d)
-    visited = (
-        jnp.zeros((q, n + 1), dtype=bool)
-        .at[q_idx[:, None], seeds]
-        .set(True)
-    )
+    # Visited dedup structure: dense per-query bitmap (exact), or a
+    # CAGRA-style per-query open-addressing hash table (visited_hash_bits
+    # > 0): O(2^bits) memory instead of O(N) per query — essential at
+    # million scale where the dense mask alone is N bytes/query and its
+    # per-step update dominates the step cost.  Hash evictions only cost
+    # occasional duplicate expansions; result exactness is preserved by
+    # the explicit result-heap dedup below.
+    if visited_hash_bits > 0:
+        h_size = 1 << visited_hash_bits
+        visited = (
+            jnp.full((q, h_size + 1), -1, jnp.int32)
+            .at[q_idx[:, None], seeds % h_size]
+            .set(seeds)
+        )
+    else:
+        visited = (
+            jnp.zeros((q, n + 1), dtype=bool)
+            .at[q_idx[:, None], seeds]
+            .set(True)
+        )
 
     state = BeamState(
         beam_ids=beam_ids,
@@ -285,7 +301,12 @@ def search_batch(
         )
 
         # ---- dedup + gates ----
-        seen = s.visited[q_idx[:, None], nbr_safe]
+        if visited_hash_bits > 0:
+            h_size = 1 << visited_hash_bits
+            slot = nbr_safe % h_size
+            seen = s.visited[q_idx[:, None], slot] == nbr_safe
+        else:
+            seen = s.visited[q_idx[:, None], nbr_safe]
         # intra-step dedup: two popped nodes may share a neighbor — keep
         # only the first occurrence within the flattened candidate row
         same = nbr_ids[:, :, None] == nbr_ids[:, None, :]
@@ -294,8 +315,14 @@ def search_batch(
         )
         dup_prior = (same & earlier & valid[:, None, :]).any(-1)
         cand_ok = valid & ~seen & ~dup_prior
-        mark_idx = jnp.where(cand_ok, nbr_safe, n)   # n = trash column
-        visited = s.visited.at[q_idx[:, None], mark_idx].set(True)
+        if visited_hash_bits > 0:
+            mark_slot = jnp.where(cand_ok, nbr_safe % h_size, h_size)
+            visited = s.visited.at[q_idx[:, None], mark_slot].set(
+                jnp.where(cand_ok, nbr_safe, -1), mode="drop"
+            )
+        else:
+            mark_idx = jnp.where(cand_ok, nbr_safe, n)   # n = trash column
+            visited = s.visited.at[q_idx[:, None], mark_idx].set(True)
 
         warmup = ~res_full
         pass_lower = warmup[:, None] | (lower < d_k[:, None])   # :246
@@ -332,10 +359,13 @@ def search_batch(
             & (pop_ids >= 0)[:, :, None]
         ).any(-1)
         pop_push_ok = expand_e & ~pop_in_res
+        rr_in_res = (
+            (rr_node[:, :, None] == s.res_ids[:, None, :]) & rr_ok[:, :, None]
+        ).any(-1)
         push_ids = jnp.concatenate([rr_node, cur_safe], axis=1)
         push_d = jnp.concatenate(
             [
-                jnp.where(rr_ok, exact_rr, FLOAT_MAX),
+                jnp.where(rr_ok & ~rr_in_res, exact_rr, FLOAT_MAX),
                 jnp.where(pop_push_ok, d_qp_sq, FLOAT_MAX),
             ],
             axis=1,

@@ -132,3 +132,34 @@ def test_beam_expand_width_quality(small_index, rng):
             v = row[row >= 0]
             assert len(np.unique(v)) == len(v)
     assert recalls[4] >= recalls[1] - 0.03, recalls
+
+
+def test_beam_hash_visited_quality(small_index, rng):
+    """Hash-table visited dedup must match dense-bitmap recall closely."""
+    res, signs, x, params = small_index
+    queries = x[rng.choice(len(x), 30, replace=False)]
+    d = ((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d, 1)[:, :10]
+    n = res.raw.shape[0]
+    cands = np.unique(np.concatenate(
+        [[res.entry_point], np.random.default_rng(7).choice(n, 256, replace=False)]
+    )).astype(np.int32)
+    new_to_old = np.empty(n, np.int64)
+    new_to_old[res.old_to_new] = np.arange(n)
+
+    recalls = {}
+    for hbits in (0, 11):
+        ids, dists = beam.search_batch(
+            res.raw, res.norm_sq, res.neighbors, jnp.asarray(cands), signs,
+            jnp.asarray(queries), params, bits=1, k=10,
+            beam_cap=64, max_steps=100, expand_width=4,
+            visited_hash_bits=hbits,
+        )
+        ids = np.asarray(ids)
+        mapped = np.where(ids >= 0, new_to_old[np.maximum(ids, 0)], -1)
+        recalls[hbits] = (mapped[:, :, None] == gt[:, None, :]).any(-1).mean()
+        # result rows contain no duplicate ids even with hash evictions
+        for row in mapped:
+            v = row[row >= 0]
+            assert len(np.unique(v)) == len(v)
+    assert recalls[11] >= recalls[0] - 0.03, recalls
