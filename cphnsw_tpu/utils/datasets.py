@@ -72,11 +72,23 @@ def make_synthetic(
     gt_k: int = 100,
     n_clusters: int = 256,
     seed: int = 0,
+    cache_dir: str | None = "/tmp/cphnsw_synth_cache",
 ) -> dict:
     """Clustered gaussian data with exact ground truth.
 
-    `name` may encode size, e.g. "synthetic-100k-128d".
+    `name` may encode size, e.g. "synthetic-100k-128d".  Ground-truth
+    computation is O(n_queries * n * dim) on the host, so results are
+    cached on disk keyed by the full parameter tuple.
     """
+    if cache_dir:
+        key = f"{name}-{n}-{dim}-{n_queries}-{gt_k}-{n_clusters}-{seed}"
+        cpath = Path(cache_dir) / f"{key}.npz"
+        if cpath.exists():
+            with np.load(cpath) as z:
+                return {
+                    "base": z["base"], "queries": z["queries"],
+                    "groundtruth": z["groundtruth"], "dim": int(z["dim"]),
+                }
     parts = name.split("-")
     for p in parts[1:]:
         if p.endswith("k"):
@@ -113,6 +125,9 @@ def make_synthetic(
                 axis=1,
             ),
         ]
+    if cache_dir:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        np.savez(cpath, base=base, queries=queries, groundtruth=gt, dim=dim)
     return {
         "base": base,
         "queries": queries,
