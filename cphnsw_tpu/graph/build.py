@@ -96,12 +96,13 @@ def _chunked_prune(
             jnp.float32(alpha), jnp.float32(tau), jnp.float32(alpha_max), r,
         )
 
-    parts = [
-        _prune_chunk(
+    parts = []
+    for start in range(0, n, b):
+        out = _prune_chunk(
             raw, norm_sq, node_nop, cand_ids, cand_dists, jnp.int32(start)
         )
-        for start in range(0, n, b)
-    ]
+        out[0].block_until_ready()  # bound transient-workspace overlap
+        parts.append(out)
     if len(parts) == 1:
         si, sd = parts[0]
     else:
@@ -179,10 +180,11 @@ def encode_neighbor_blocks(
             jnp.where(invalid, 0, u.sum(-1).astype(jnp.int32)),
         )
 
-    parts = [
-        _encode_chunk(raw, sel_ids, jnp.int32(start))
-        for start in range(0, n, b)
-    ]
+    parts = []
+    for start in range(0, n, b):
+        out = _encode_chunk(raw, sel_ids, jnp.int32(start))
+        out[0].block_until_ready()  # bound transient-workspace overlap
+        parts.append(out)
     if len(parts) == 1:
         pl, no, qo, cp, wp = parts[0]
     else:

@@ -151,7 +151,9 @@ def init_random(
     parts = []
     for start in range(0, n, b):
         key, sub = jax.random.split(key)
-        parts.append(_init_chunk(raw, norm_sq, sub, jnp.int32(start)))
+        out = _init_chunk(raw, norm_sq, sub, jnp.int32(start))
+        out[0].block_until_ready()  # bound transient-workspace overlap
+        parts.append(out)
     if len(parts) == 1:
         ids, dists = parts[0]
     else:
@@ -289,6 +291,9 @@ def join_round(
             raw, norm_sq, wg.ids, wg.dists, wg.flags, rev, k,
             jnp.int32(start), r, b, n,
         )
+        # block per chunk: unbounded async dispatch lets the transient
+        # workspaces of many queued chunk programs overlap and exhaust HBM
+        out[0].block_until_ready()
         parts.append(out[:3])
         upds.append(out[3])
 
