@@ -150,3 +150,62 @@ def test_distances_with_bounds_formula(rng):
     want_lower = np.maximum(nop**2 + dqp - 2 * nop * np.sqrt(dqp) * cos_u, 0.0)
     np.testing.assert_allclose(np.asarray(est), want_est, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lower), want_lower, rtol=1e-5, atol=1e-5)
+
+
+def test_caq_matches_reference_port(rng, signs):
+    """caq_quantize (batched scan) must track a direct python port of the
+    reference's per-vector coordinate descent (rabitq_encoder.hpp:371-467)
+    in quantization quality (cos^2), and closely in code agreement."""
+    x = rng.standard_normal((12, P)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    xr = np.asarray(hadamard.rotate(jnp.asarray(x), signs))
+
+    def ref_caq(vec, bits):
+        k_int = (1 << bits) - 1
+        k = float(k_int)
+        vmin, vmax = vec.min(), vec.max()
+        delta = max((vmax - vmin) / k, 1e-12)
+        u = np.clip(np.round((vec - vmin) / delta), 0, k_int).astype(int)
+        c = (2 * u - k) / k
+        dot, norm = float((c * vec).sum()), float((c * c).sum())
+        for _ in range(10):
+            changed = False
+            for i in range(len(vec)):
+                c_old = (2 * u[i] - k) / k
+                dot_wo = dot - c_old * vec[i]
+                norm_wo = norm - c_old * c_old
+                best_u, best_dot, best_norm = u[i], dot, norm
+                cands = (
+                    range(k_int + 1) if bits < 4
+                    else [u[i] - 1, u[i] + 1]
+                )
+                for ut in cands:
+                    if ut < 0 or ut > k_int or ut == u[i]:
+                        continue
+                    cn = (2 * ut - k) / k
+                    nd, nn = dot_wo + cn * vec[i], norm_wo + cn * cn
+                    if nd * nd * best_norm > best_dot * best_dot * nn:
+                        best_u, best_dot, best_norm = ut, nd, nn
+                if best_u != u[i]:
+                    cn = (2 * best_u - k) / k
+                    dot, norm = dot_wo + cn * vec[i], norm_wo + cn * cn
+                    u[i] = best_u
+                    changed = True
+            if not changed:
+                break
+        return u
+
+    for bits in (2, 4):
+        k = (1 << bits) - 1
+        u_ours = np.asarray(quantize.caq_quantize(jnp.asarray(xr), bits)[0])
+        for i in range(len(xr)):
+            u_ref = ref_caq(xr[i].astype(np.float64), bits)
+            c_ref = (2 * u_ref - k) / k
+            c_our = (2 * u_ours[i] - k) / k
+            cos_ref = (c_ref * xr[i]).sum() ** 2 / (c_ref**2).sum()
+            cos_our = (c_our * xr[i]).sum() ** 2 / (c_our**2).sum()
+            # quality parity (both are local optima of the same objective)
+            assert cos_our >= cos_ref - 1e-3, f"bits={bits} vec={i}"
+            # codes should agree on the vast majority of coordinates
+            agree = (u_ref == u_ours[i]).mean()
+            assert agree > 0.9, f"bits={bits} vec={i}: agree={agree}"
