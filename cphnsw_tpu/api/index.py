@@ -356,10 +356,10 @@ class Index:
             if header["rotation_seed"] != self._seed:
                 raise ValueError("Index file rotation seed mismatch.")
 
-            neighbors = NeighborStore(
-                ids=jnp.asarray(z["nbr_ids"]),
-                planes=jnp.asarray(z["nbr_planes"]),
-                aux=jnp.asarray(z["nbr_aux"]),
+            neighbors = NeighborStore.pack(
+                jnp.asarray(z["nbr_ids"]),
+                jnp.asarray(z["nbr_planes"]),
+                jnp.asarray(z["nbr_aux"]),
             )
             raw = jnp.asarray(z["raw"])
             norm_sq = jnp.asarray(z["norm_sq"])

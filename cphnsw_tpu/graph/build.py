@@ -35,16 +35,51 @@ from cphnsw_tpu.graph.nndescent import FLOAT_MAX, INVALID
 from cphnsw_tpu.ops import hadamard, pack, quantize
 
 
-class NeighborStore(NamedTuple):
-    """Per-edge search data, SoA over (N, R) edges.
+@jax.tree_util.register_pytree_node_class
+class NeighborStore:
+    """Per-edge search data with a FUSED per-node row layout.
 
-    The four float aux channels are packed into ONE (N, R, 4) array so the
-    per-step beam-search gather touches a single buffer instead of four
-    (gather launches are a fixed per-op cost inside the while_loop)."""
+    `fused` packs everything the search step needs for one node into ONE
+    contiguous int32 row: [ids (R)] [aux (R,4) f32-bitcast] [planes
+    (R,bits,W) u32-bitcast].  The beam search then does a single ~1 KB
+    row gather per popped node instead of three ~0.5 KB gathers — row
+    gathers on TPU are launch- and DMA-utilization-bound, so fewer,
+    larger rows win.  `ids` is also kept standalone (graph algorithms use
+    it heavily); logical views (planes/aux/...) derive from `fused`.
 
-    ids: jax.Array      # (N, R) int32, -1 = none
-    planes: jax.Array   # (N, R, bits, P//32) uint32 packed residual codes
-    aux: jax.Array      # (N, R, 4) f32: [nop, ip_qo, ip_cp, wpc]
+    Registered as a pytree with (r, bits, words) as static aux data so the
+    layout metadata stays python-level under jit.
+    """
+
+    def __init__(self, ids, fused, r: int, bits: int, words: int):
+        self.ids = ids      # (N, R) int32, -1 = none
+        self.fused = fused  # (N, F) int32, F = R*(1 + 4 + bits*W)
+        self.r = r
+        self.bits = bits
+        self.words = words
+
+    def tree_flatten(self):
+        return (self.ids, self.fused), (self.r, self.bits, self.words)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    @property
+    def aux(self):
+        n = self.fused.shape[0]
+        a = self.fused[:, self.r : 5 * self.r]
+        return jax.lax.bitcast_convert_type(
+            a.reshape(n, self.r, 4), jnp.float32
+        )
+
+    @property
+    def planes(self):
+        n = self.fused.shape[0]
+        p = self.fused[:, 5 * self.r :]
+        return jax.lax.bitcast_convert_type(p, jnp.uint32).reshape(
+            n, self.r, self.bits, self.words
+        )
 
     @property
     def nop(self):
@@ -61,6 +96,22 @@ class NeighborStore(NamedTuple):
     @property
     def wpc(self):
         return self.aux[..., 3]
+
+    @staticmethod
+    def pack(ids, planes, aux):
+        """Build the fused layout from logical arrays."""
+        n, r = ids.shape
+        bits, w = planes.shape[-2], planes.shape[-1]
+        aux_i = jax.lax.bitcast_convert_type(
+            aux.astype(jnp.float32), jnp.int32
+        ).reshape(n, r * 4)
+        planes_i = jax.lax.bitcast_convert_type(
+            planes, jnp.int32
+        ).reshape(n, r * bits * w)
+        fused = jnp.concatenate([ids, aux_i, planes_i], axis=1)
+        return NeighborStore(
+            ids=ids, fused=fused, r=r, bits=bits, words=w
+        )
 
 
 @dataclass
@@ -196,11 +247,7 @@ def encode_neighbor_blocks(
     aux = jnp.stack(
         [no[:n], qo[:n], cp[:n], wp[:n].astype(jnp.float32)], axis=-1
     )
-    return NeighborStore(
-        ids=jnp.asarray(sel_ids),
-        planes=pl[:n],
-        aux=aux,
-    )
+    return NeighborStore.pack(jnp.asarray(sel_ids), pl[:n], aux)
 
 
 def find_hub_entry(raw, norm_sq, centroid, sel_ids) -> int:

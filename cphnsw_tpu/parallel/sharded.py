@@ -88,7 +88,7 @@ def sharded_search(
     def local_search(raw, norm_sq, ids, planes, aux, cands, q):
         # shard_map hands us the local block with the sharded axis size 1
         raw, norm_sq = raw[0], norm_sq[0]
-        neighbors = NeighborStore(ids=ids[0], planes=planes[0], aux=aux[0])
+        neighbors = NeighborStore.pack(ids[0], planes[0], aux[0])
         local_ids, local_d = beam.search_batch(
             raw, norm_sq, neighbors, cands[0], signs, q, params,
             bits=bits, k=k, beam_cap=beam_cap, max_steps=max_steps,

@@ -256,14 +256,19 @@ def search_batch(
         dot_slack = params.slack_levels[level]
         slack_cnt = s.slack_cnt + expand_e.sum(1).astype(jnp.int32)
 
-        # ---- neighbor blocks for all E popped nodes, flattened ----
+        # ---- neighbor blocks for all E popped nodes: ONE fused gather ----
         er = expand_width * r
-        nbr_ids = neighbors.ids[cur_safe].reshape(q, er)
+        g = neighbors.fused[cur_safe]                          # (Q, E, F)
+        nbr_ids = g[..., :r].reshape(q, er)
         valid = (nbr_ids >= 0) & jnp.repeat(expand_e, r, axis=1)
         nbr_safe = jnp.where(valid, nbr_ids, 0)
 
-        planes = neighbors.planes[cur_safe]                    # (Q,E,R,B,W)
-        aux_g = neighbors.aux[cur_safe].reshape(q, er, 4)      # one gather
+        aux_g = jax.lax.bitcast_convert_type(
+            g[..., r : 5 * r].reshape(q, expand_width, r, 4), jnp.float32
+        ).reshape(q, er, 4)
+        planes = jax.lax.bitcast_convert_type(
+            g[..., 5 * r :], jnp.uint32
+        ).reshape(q, expand_width, r, bits, neighbors.words)
         u = pack.unpack_planes(planes, p).reshape(q, er, p)
         fs = jnp.einsum(
             "qrp,qp->qr", u, qc.q_u, preferred_element_type=jnp.int32

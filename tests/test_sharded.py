@@ -28,9 +28,8 @@ def test_sharded_search_matches_quality(rng):
 
     # calibrate once on shard 0's subgraph (cheap smoke-level calibration)
     profile = calib_mod.IndexProfile.derive(n // n_model, 32, 16, 1)
-    nb0 = NeighborStore(
-        ids=store.nbr_ids[0], planes=store.nbr_planes[0],
-        aux=store.nbr_aux[0],
+    nb0 = NeighborStore.pack(
+        store.nbr_ids[0], store.nbr_planes[0], store.nbr_aux[0]
     )
     snap = calib_mod.calibrate(
         store.raw[0], store.norm_sq[0], nb0, signs, 1, profile
@@ -82,9 +81,8 @@ def test_single_vs_multi_shard_equivalence(rng):
         store_sh, jnp.asarray(queries), params, signs, mesh,
         bits=1, k=5, beam_cap=32, max_steps=64,
     )
-    nb = NeighborStore(
-        ids=store.nbr_ids[0], planes=store.nbr_planes[0],
-        aux=store.nbr_aux[0],
+    nb = NeighborStore.pack(
+        store.nbr_ids[0], store.nbr_planes[0], store.nbr_aux[0]
     )
     ids_1, d_1 = beam.search_batch(
         store.raw[0], store.norm_sq[0], nb, store.entry_candidates[0],
@@ -105,9 +103,8 @@ def test_search_determinism(rng):
     store, _ = sharded.build_sharded_store(
         x, bits=1, r=8, n_shards=1, signs=signs
     )
-    nb = NeighborStore(
-        ids=store.nbr_ids[0], planes=store.nbr_planes[0],
-        aux=store.nbr_aux[0],
+    nb = NeighborStore.pack(
+        store.nbr_ids[0], store.nbr_planes[0], store.nbr_aux[0]
     )
     params = beam.SearchParams.default()._replace(
         slack_levels=jnp.full(4, 2.0, jnp.float32),
