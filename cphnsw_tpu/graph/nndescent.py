@@ -183,17 +183,11 @@ def reverse_lists(ids: jax.Array, key: jax.Array, r_rev: int) -> jax.Array:
     order = order_p[jnp.argsort(tgt_safe[order_p], stable=True)]
     tgt_sorted = tgt_safe[order]
     src_sorted = src[order]
-    # rank within each target group = idx - position of the group start,
-    # via an associative cummax (cheaper on TPU than searchsorted's
-    # per-element binary search)
-    e_total = tgt_sorted.shape[0]
-    idx_arr = jnp.arange(e_total)
-    is_start = jnp.concatenate(
-        [jnp.ones(1, bool), tgt_sorted[1:] != tgt_sorted[:-1]]
-    )
-    start_pos = jnp.where(is_start, idx_arr, 0)
-    first = jax.lax.associative_scan(jnp.maximum, start_pos)
-    rank = idx_arr - first
+    # rank within each target group via searchsorted (an associative-scan
+    # cummax variant compiled/ran pathologically at 32M edges on the
+    # remote TPU backend; binary search is fine)
+    first = jnp.searchsorted(tgt_sorted, tgt_sorted, side="left")
+    rank = jnp.arange(tgt_sorted.shape[0]) - first
     rev = jnp.full((n + 1, r_rev), INVALID)
     rev = rev.at[tgt_sorted, jnp.minimum(rank, r_rev - 1)].set(
         jnp.where(rank < r_rev, src_sorted, INVALID), mode="drop"
