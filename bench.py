@@ -49,11 +49,18 @@ def main():
 
     baseline_file = Path(__file__).parent / "baseline_cpu.json"
     vs_baseline = 1.0
+    ref_note = "no baseline_cpu.json"
     if baseline_file.exists():
         ref = json.loads(baseline_file.read_text())
         ref_qps = ref.get("qps_sift100k_1bit")
+        ref_recall = ref.get("recall_at_10", 0.0)
         if ref_qps:
             vs_baseline = qps / ref_qps
+            ref_note = (
+                f"ref AVX2 1-core: {ref_qps:.0f} qps @ recall "
+                f"{ref_recall:.3f} (fails the 0.95 recall bar; "
+                f"raw-qps ratio shown)"
+            )
 
     print(
         json.dumps(
@@ -61,7 +68,7 @@ def main():
                 "metric": "qps_at_recall10_synth100k_128d_1bit",
                 "value": round(qps, 1),
                 "unit": f"qps (recall@10={r10:.4f}, build={build_s:.1f}s, "
-                f"device={jax.devices()[0].platform})",
+                f"device={jax.devices()[0].platform}; {ref_note})",
                 "vs_baseline": round(vs_baseline, 3),
             }
         )
