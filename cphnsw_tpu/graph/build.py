@@ -127,9 +127,13 @@ class BuildResult:
 
 def _chunked_prune(
     raw, norm_sq, cand_ids, cand_dists, node_nop, alpha, tau, alpha_max,
-    r, error_tolerance, chunk=8192,
+    r, error_tolerance, chunk=None,
 ):
     n = cand_ids.shape[0]
+    if chunk is None:
+        chunk = nndescent._chunk_for(
+            n, cand_ids.shape[1], raw.shape[1], 8192
+        )
     b = min(chunk, n)
 
     # single jitted dispatch per fixed-size chunk (remote backends make
@@ -195,7 +199,7 @@ def _reverse_candidates(sel_ids, sel_dists, r_rev: int):
 
 
 def encode_neighbor_blocks(
-    raw, sel_ids, signs, bits: int, chunk: int = 4096
+    raw, sel_ids, signs, bits: int, chunk: int | None = None
 ) -> NeighborStore:
     """Edge-residual encoding of all selected edges, node-chunked.
 
@@ -204,6 +208,8 @@ def encode_neighbor_blocks(
     rotates+quantizes chunk*R residual vectors in one program."""
     n, r = sel_ids.shape
     p = signs.shape[-1]
+    if chunk is None:
+        chunk = nndescent._chunk_for(n, r, p, 4096)
     b = min(chunk, n)
 
     # single jitted dispatch per fixed-size chunk; invalid edges are

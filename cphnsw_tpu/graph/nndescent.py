@@ -113,12 +113,23 @@ def _dedup_sort_pairs(ids, dists):
     )
 
 
+# HBM budget for a chunk's gathered candidate block (b * C * P * 4 bytes);
+# the gather materializes when XLA cannot fuse it into the distance matmul.
+CHUNK_BYTES_BUDGET = 1 << 31  # 2 GB
+
+
+def _chunk_for(n: int, cand_width: int, p: int, cap: int) -> int:
+    b = CHUNK_BYTES_BUDGET // max(cand_width * p * 4, 1)
+    b = max(1024, min(cap, b))
+    return min(b, n)
+
+
 def init_random(
     raw: jax.Array,
     norm_sq: jax.Array,
     r: int,
     seed: int = 42,
-    chunk: int = 16384,
+    chunk: int | None = None,
 ) -> WorkingGraph:
     """Coupon-collector random init (reference init_working_random,
     graph_refinement.hpp:71-117): sample a pool of ~R*ln(n/R) random
@@ -129,6 +140,8 @@ def init_random(
         max(n - 1, 1),
     )
     pool = max(pool, min(r, n - 1))
+    if chunk is None:
+        chunk = _chunk_for(n, pool, raw.shape[1], 16384)
     key = jax.random.PRNGKey(seed)
 
     # one jitted program per chunk — everything device-side in a single
@@ -274,7 +287,8 @@ def join_round(
     k_rev, k_join = jax.random.split(round_key)
     rev = reverse_lists(wg.ids, k_rev, r)
 
-    b = min(JOIN_CHUNK, n)
+    cand_width = (SAMPLE_FWD + SAMPLE_REV + 1) * r
+    b = _chunk_for(n, cand_width, raw.shape[1], JOIN_CHUNK)
     # accumulate chunk outputs on DEVICE (host round-trips over the remote
     # tunnel would move GBs per round)
     parts = []
