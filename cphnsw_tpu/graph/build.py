@@ -24,14 +24,11 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cphnsw_tpu.graph import nndescent, pruning, stats as gstats
-from cphnsw_tpu.graph.nndescent import FLOAT_MAX, INVALID
 from cphnsw_tpu.ops import hadamard, pack, quantize
 
 
