@@ -26,13 +26,16 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         # per-platform subdirectory: AOT artifacts compiled for the remote
         # TPU host poison a CPU process (and vice versa) if shared
         _plat = (_jax.config.jax_platforms or "tpu").split(",")[0]
-        _cache = _os.path.join(
-            _os.path.dirname(__file__), "..", ".jax_cache", _plat
-        )
-        _jax.config.update(
-            "jax_compilation_cache_dir", _os.path.abspath(_cache)
-        )
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        if _plat != "cpu":  # CPU compiles are fast; cache only remote TPU
+            _cache = _os.path.join(
+                _os.path.dirname(__file__), "..", ".jax_cache", _plat
+            )
+            _jax.config.update(
+                "jax_compilation_cache_dir", _os.path.abspath(_cache)
+            )
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

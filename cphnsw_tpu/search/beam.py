@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from cphnsw_tpu.graph.build import NeighborStore
-from cphnsw_tpu.ops import estimate, hadamard, pack, quantize
+from cphnsw_tpu.ops import estimate, hadamard, pack, pallas_step, quantize
 
 FLOAT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
 EPS_SMALL = 1e-12
@@ -96,7 +96,7 @@ def _merge_results(res_ids, res_d, cand_ids, cand_d, k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "expand_width", "rerank_width", "visited_hash_bits", "debug_state"),
+    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "expand_width", "rerank_width", "visited_hash_bits", "use_pallas", "debug_state"),
 )
 def search_batch(
     raw: jax.Array,
@@ -114,6 +114,7 @@ def search_batch(
     expand_width: int = 1,
     rerank_width: int = 0,
     visited_hash_bits: int = 0,
+    use_pallas: bool = False,
     debug_state: bool = False,
 ):
     """DABS layer-0 search for a batch of queries.
@@ -263,47 +264,66 @@ def search_batch(
         valid = (nbr_ids >= 0) & jnp.repeat(expand_e, r, axis=1)
         nbr_safe = jnp.where(valid, nbr_ids, 0)
 
-        aux_g = jax.lax.bitcast_convert_type(
-            g[..., r : 5 * r].reshape(q, expand_width, r, 4), jnp.float32
-        ).reshape(q, er, 4)
-        planes = jax.lax.bitcast_convert_type(
-            g[..., 5 * r :], jnp.uint32
-        ).reshape(q, expand_width, r, bits, neighbors.words)
-        u = pack.unpack_planes(planes, p).reshape(q, er, p)
-        fs = jnp.einsum(
-            "qrp,qp->qr", u, qc.q_u, preferred_element_type=jnp.int32
-        )
-        ip_full = estimate.ip_from_fastscan(
-            fs, aux_g[..., 3],
-            qc.coeff_a[:, None], qc.coeff_b[:, None], qc.coeff_c[:, None],
-            k_scale,
-        )
-        if bits >= 2:
-            u_msb = pack.unpack_msb(planes, p, bits).reshape(q, er, p)
-            fs_msb = jnp.einsum(
-                "qrp,qp->qr", u_msb, qc.q_u, preferred_element_type=jnp.int32
-            )
-            wpc_msb = u_msb.sum(-1)
-            ip_bound = estimate.ip_from_fastscan(
-                fs_msb, wpc_msb,
-                qc.coeff_a[:, None], qc.coeff_b[:, None], qc.coeff_c[:, None],
-                msb_scale,
+        if use_pallas and bits == 1:
+            # fused VMEM-resident estimate kernel (ops/pallas_step.py)
+            scalars = jnp.stack(
+                [
+                    qc.coeff_a, qc.coeff_b, qc.coeff_c,
+                    jnp.broadcast_to(params.affine_a, (q,)),
+                    jnp.broadcast_to(params.affine_b, (q,)),
+                    jnp.broadcast_to(params.ip_qo_floor, (q,)),
+                    dot_slack,
+                    jnp.zeros((q,)),
+                ],
+                axis=1,
+            ).astype(jnp.float32)
+            est, lower = pallas_step.fused_estimate_1bit(
+                g, qc.q_u.astype(jnp.float32), scalars, d_qp_sq,
+                r=r, e=expand_width, w=neighbors.words, p=p,
             )
         else:
-            ip_bound = ip_full
+            aux_g = jax.lax.bitcast_convert_type(
+                g[..., r : 5 * r].reshape(q, expand_width, r, 4), jnp.float32
+            ).reshape(q, er, 4)
+            planes = jax.lax.bitcast_convert_type(
+                g[..., 5 * r :], jnp.uint32
+            ).reshape(q, expand_width, r, bits, neighbors.words)
+            u = pack.unpack_planes(planes, p).reshape(q, er, p)
+            fs = jnp.einsum(
+                "qrp,qp->qr", u, qc.q_u, preferred_element_type=jnp.int32
+            )
+            ip_full = estimate.ip_from_fastscan(
+                fs, aux_g[..., 3],
+                qc.coeff_a[:, None], qc.coeff_b[:, None], qc.coeff_c[:, None],
+                k_scale,
+            )
+            if bits >= 2:
+                u_msb = pack.unpack_msb(planes, p, bits).reshape(q, er, p)
+                fs_msb = jnp.einsum(
+                    "qrp,qp->qr", u_msb, qc.q_u,
+                    preferred_element_type=jnp.int32,
+                )
+                wpc_msb = u_msb.sum(-1)
+                ip_bound = estimate.ip_from_fastscan(
+                    fs_msb, wpc_msb,
+                    qc.coeff_a[:, None], qc.coeff_b[:, None],
+                    qc.coeff_c[:, None], msb_scale,
+                )
+            else:
+                ip_bound = ip_full
 
-        calib = estimate.CalibParams(
-            affine_a=params.affine_a,
-            affine_b=params.affine_b,
-            ip_qo_floor=params.ip_qo_floor,
-            dot_slack=dot_slack[:, None],
-        )
-        d_qp_flat = jnp.repeat(d_qp_sq, r, axis=1)             # (Q, E*R)
-        est, lower = estimate.distances_with_bounds(
-            ip_full, ip_bound,
-            aux_g[..., 0], aux_g[..., 1], aux_g[..., 2],
-            d_qp_flat, calib,
-        )
+            calib = estimate.CalibParams(
+                affine_a=params.affine_a,
+                affine_b=params.affine_b,
+                ip_qo_floor=params.ip_qo_floor,
+                dot_slack=dot_slack[:, None],
+            )
+            d_qp_flat = jnp.repeat(d_qp_sq, r, axis=1)         # (Q, E*R)
+            est, lower = estimate.distances_with_bounds(
+                ip_full, ip_bound,
+                aux_g[..., 0], aux_g[..., 1], aux_g[..., 2],
+                d_qp_flat, calib,
+            )
 
         # ---- dedup + gates ----
         if visited_hash_bits > 0:

@@ -163,3 +163,38 @@ def test_beam_hash_visited_quality(small_index, rng):
             v = row[row >= 0]
             assert len(np.unique(v)) == len(v)
     assert recalls[11] >= recalls[0] - 0.03, recalls
+
+
+def test_pallas_step_matches_xla(small_index, rng):
+    """The fused Pallas estimate path must reproduce the XLA path results
+    (interpret mode on CPU)."""
+    import cphnsw_tpu.ops.pallas_step as ps
+    import functools
+    # route pallas_call through interpret mode on CPU
+    orig = ps.fused_estimate_1bit
+    try:
+        ps_interp = functools.partial(orig, interpret=True)
+        ps.fused_estimate_1bit = ps_interp
+        import cphnsw_tpu.search.beam as beam_mod
+
+        res, signs, x, params = small_index
+        queries = x[rng.choice(len(x), 16, replace=False)]
+        n = res.raw.shape[0]
+        cands = np.unique(np.concatenate(
+            [[res.entry_point],
+             np.random.default_rng(7).choice(n, 128, replace=False)]
+        )).astype(np.int32)
+        common = dict(bits=1, k=10, beam_cap=64, max_steps=80,
+                      expand_width=4)
+        ids_x, d_x = beam_mod.search_batch(
+            res.raw, res.norm_sq, res.neighbors, jnp.asarray(cands), signs,
+            jnp.asarray(queries), params, use_pallas=False, **common)
+        ids_p, d_p = beam_mod.search_batch(
+            res.raw, res.norm_sq, res.neighbors, jnp.asarray(cands), signs,
+            jnp.asarray(queries), params, use_pallas=True, **common)
+        np.testing.assert_array_equal(np.asarray(ids_x), np.asarray(ids_p))
+        np.testing.assert_allclose(
+            np.asarray(d_x), np.asarray(d_p), rtol=1e-5
+        )
+    finally:
+        ps.fused_estimate_1bit = orig
