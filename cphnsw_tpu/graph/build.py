@@ -37,12 +37,13 @@ class NeighborStore:
     """Per-edge search data with a FUSED per-node row layout.
 
     `fused` packs everything the search step needs for one node into ONE
-    contiguous int32 row: [ids (R)] [aux (R,4) f32-bitcast] [planes
-    (R,bits,W) u32-bitcast].  The beam search then does a single ~1 KB
-    row gather per popped node instead of three ~0.5 KB gathers — row
-    gathers on TPU are launch- and DMA-utilization-bound, so fewer,
-    larger rows win.  `ids` is also kept standalone (graph algorithms use
-    it heavily); logical views (planes/aux/...) derive from `fused`.
+    contiguous int32 row, channel-contiguous so kernels slice channels
+    without transposing reshapes (Mosaic restriction):
+    [ids (R)] [nop (R)] [ip_qo (R)] [ip_cp (R)] [wpc (R)] [planes
+    (R*bits*W) u32-bitcast, coordinate-major per edge].  One ~1 KB row
+    gather per popped node replaces three ~0.5 KB gathers.  `ids` is also
+    kept standalone (graph algorithms use it heavily); logical views
+    derive from `fused`.
 
     Registered as a pytree with (r, bits, words) as static aux data so the
     layout metadata stays python-level under jit.
@@ -64,11 +65,14 @@ class NeighborStore:
 
     @property
     def aux(self):
-        n = self.fused.shape[0]
-        a = self.fused[:, self.r : 5 * self.r]
-        return jax.lax.bitcast_convert_type(
-            a.reshape(n, self.r, 4), jnp.float32
-        )
+        r = self.r
+        chans = [
+            jax.lax.bitcast_convert_type(
+                self.fused[:, (1 + c) * r : (2 + c) * r], jnp.float32
+            )
+            for c in range(4)
+        ]
+        return jnp.stack(chans, axis=-1)
 
     @property
     def planes(self):
@@ -101,11 +105,12 @@ class NeighborStore:
         bits, w = planes.shape[-2], planes.shape[-1]
         aux_i = jax.lax.bitcast_convert_type(
             aux.astype(jnp.float32), jnp.int32
-        ).reshape(n, r * 4)
+        )  # (N, R, 4)
+        chans = [aux_i[:, :, c] for c in range(4)]
         planes_i = jax.lax.bitcast_convert_type(
             planes, jnp.int32
         ).reshape(n, r * bits * w)
-        fused = jnp.concatenate([ids, aux_i, planes_i], axis=1)
+        fused = jnp.concatenate([ids, *chans, planes_i], axis=1)
         return NeighborStore(
             ids=ids, fused=fused, r=r, bits=bits, words=w
         )

@@ -32,28 +32,46 @@ def _kernel(g_ref, qu_ref, sc_ref, dqp_ref, est_ref, lower_ref, *, r, e, w, p):
     """g (QB, E, F) int32; qu (QB, P) f32; sc (QB, 8) f32 scalars
     [A, B, C, affine_a, affine_b, floor, slack, _]; dqp (QB, E) f32.
     Outputs (QB, E*R) f32."""
-    er = e * r
     g = g_ref[...]                                   # (QB, E, F)
-    aux_i = g[:, :, r : 5 * r].reshape(QB, er, 4)
-    aux = jax.lax.bitcast_convert_type(aux_i, jnp.float32)    # (QB, ER, 4)
-    planes = jax.lax.bitcast_convert_type(
-        g[:, :, 5 * r :], jnp.uint32
-    ).reshape(QB, er, w)                             # 1-bit: (QB, ER, W)
-
-    # unpack 32 bits per word -> (QB, ER, P)
-    bit_idx = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, 32), 3)
-    u = ((planes[:, :, :, None] >> bit_idx) & jnp.uint32(1)).reshape(
-        QB, er, w * 32
-    )
-    u = u[:, :, :p].astype(jnp.float32)
-
     qu = qu_ref[...]                                 # (QB, P)
-    fs = jax.lax.dot_general(
-        u, qu,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                # (QB, ER)
-    wpc = aux[:, :, 3]
+
+    # per-expansion processing (python-unrolled over E) avoids the
+    # transpose-like reshapes Mosaic cannot lower
+    fs_parts, nop_parts, qo_parts, cp_parts, wpc_parts = [], [], [], [], []
+    for ei in range(e):
+        ge = g[:, ei, :]                             # (QB, F)
+        nop_parts.append(
+            jax.lax.bitcast_convert_type(ge[:, r : 2 * r], jnp.float32)
+        )
+        qo_parts.append(
+            jax.lax.bitcast_convert_type(ge[:, 2 * r : 3 * r], jnp.float32)
+        )
+        cp_parts.append(
+            jax.lax.bitcast_convert_type(ge[:, 3 * r : 4 * r], jnp.float32)
+        )
+        wpc_parts.append(
+            jax.lax.bitcast_convert_type(ge[:, 4 * r : 5 * r], jnp.float32)
+        )
+        words = jax.lax.bitcast_convert_type(
+            ge[:, 5 * r :], jnp.uint32
+        ).reshape(QB, r, w)                          # order-preserving split
+        bit_idx = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, 32), 3)
+        u = ((words[:, :, :, None] >> bit_idx) & jnp.uint32(1)).reshape(
+            QB, r, w * 32
+        )
+        u = u[:, :, :p].astype(jnp.int32).astype(jnp.float32)
+        fs_parts.append(
+            jax.lax.dot_general(
+                u, qu,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                        # (QB, R)
+        )
+    fs = jnp.concatenate(fs_parts, axis=1)           # (QB, ER)
+    nop = jnp.concatenate(nop_parts, axis=1)
+    ip_qo_raw = jnp.concatenate(qo_parts, axis=1)
+    ip_cp = jnp.concatenate(cp_parts, axis=1)
+    wpc = jnp.concatenate(wpc_parts, axis=1)
 
     a_coef = sc_ref[:, 0:1]
     b_coef = sc_ref[:, 1:2]
@@ -64,9 +82,7 @@ def _kernel(g_ref, qu_ref, sc_ref, dqp_ref, est_ref, lower_ref, *, r, e, w, p):
     slack = sc_ref[:, 6:7]
 
     ip_approx = a_coef * fs + b_coef * wpc + c_coef
-    nop = aux[:, :, 0]
-    ip_qo = jnp.maximum(aux[:, :, 1], floor)
-    ip_cp = aux[:, :, 2]
+    ip_qo = jnp.maximum(ip_qo_raw, floor)
     good = ip_qo > EPS_MEDIUM
     ratio = jnp.where(
         good, (ip_approx - ip_cp) / jnp.maximum(ip_qo, EPS_MEDIUM), 0.0
@@ -74,7 +90,12 @@ def _kernel(g_ref, qu_ref, sc_ref, dqp_ref, est_ref, lower_ref, *, r, e, w, p):
     ip_est = affine_a * ratio + affine_b
 
     dqp = dqp_ref[...]                               # (QB, E)
-    dqp_flat = jnp.repeat(dqp, r, axis=1, total_repeat_length=er)
+    # broadcast each expansion's d_qp over its R candidates (jnp.repeat
+    # lowers to scatter, which Mosaic does not support)
+    dqp_flat = jnp.concatenate(
+        [jnp.broadcast_to(dqp[:, ei : ei + 1], (QB, r)) for ei in range(e)],
+        axis=1,
+    )
     sqrt_dqp = jnp.sqrt(jnp.maximum(dqp_flat, 0.0))
 
     est = jnp.maximum(nop * nop + dqp_flat - 2.0 * nop * ip_est, 0.0)

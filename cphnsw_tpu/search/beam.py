@@ -282,9 +282,15 @@ def search_batch(
                 r=r, e=expand_width, w=neighbors.words, p=p,
             )
         else:
-            aux_g = jax.lax.bitcast_convert_type(
-                g[..., r : 5 * r].reshape(q, expand_width, r, 4), jnp.float32
-            ).reshape(q, er, 4)
+            aux_g = jnp.stack(
+                [
+                    jax.lax.bitcast_convert_type(
+                        g[..., (1 + c) * r : (2 + c) * r], jnp.float32
+                    ).reshape(q, er)
+                    for c in range(4)
+                ],
+                axis=-1,
+            )
             planes = jax.lax.bitcast_convert_type(
                 g[..., 5 * r :], jnp.uint32
             ).reshape(q, expand_width, r, bits, neighbors.words)
