@@ -78,9 +78,10 @@ class NeighborStore:
     def planes(self):
         n = self.fused.shape[0]
         p = self.fused[:, 5 * self.r :]
-        return jax.lax.bitcast_convert_type(p, jnp.uint32).reshape(
-            n, self.r, self.bits, self.words
+        pw = jax.lax.bitcast_convert_type(p, jnp.uint32).reshape(
+            n, self.bits, self.words, self.r
         )
+        return jnp.moveaxis(pw, 3, 1)  # (N, R, bits, W)
 
     @property
     def nop(self):
@@ -107,9 +108,11 @@ class NeighborStore:
             aux.astype(jnp.float32), jnp.int32
         )  # (N, R, 4)
         chans = [aux_i[:, :, c] for c in range(4)]
-        planes_i = jax.lax.bitcast_convert_type(
-            planes, jnp.int32
-        ).reshape(n, r * bits * w)
+        # planes stored word-major: fused col 5R + (b*W + w)*R + rr
+        # (kernels slice a full (N-block, R) tile per (bit-plane, word))
+        planes_i = jnp.moveaxis(
+            jax.lax.bitcast_convert_type(planes, jnp.int32), 1, 3
+        ).reshape(n, bits * w * r)
         fused = jnp.concatenate([ids, *chans, planes_i], axis=1)
         return NeighborStore(
             ids=ids, fused=fused, r=r, bits=bits, words=w

@@ -52,21 +52,26 @@ def _kernel(g_ref, qu_ref, sc_ref, dqp_ref, est_ref, lower_ref, *, r, e, w, p):
         wpc_parts.append(
             jax.lax.bitcast_convert_type(ge[:, 4 * r : 5 * r], jnp.float32)
         )
-        words = jax.lax.bitcast_convert_type(
-            ge[:, 5 * r :], jnp.uint32
-        ).reshape(QB, r, w)                          # order-preserving split
-        bit_idx = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, 32), 3)
-        u = ((words[:, :, :, None] >> bit_idx) & jnp.uint32(1)).reshape(
-            QB, r, w * 32
-        )
-        u = u[:, :, :p].astype(jnp.int32).astype(jnp.float32)
-        fs_parts.append(
-            jax.lax.dot_general(
-                u, qu,
+        # word-major planes: slice one (QB, R) u32 tile per word, expand a
+        # trailing 32-lane bit dim (broadcast, not a lane-splitting
+        # reshape), and accumulate per-word partial dots
+        bit_idx = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+        fs_e = jnp.zeros((QB, r), jnp.float32)
+        for wi in range(w):
+            word = jax.lax.bitcast_convert_type(
+                ge[:, 5 * r + wi * r : 5 * r + (wi + 1) * r], jnp.uint32
+            )                                        # (QB, R)
+            bits_w = ((word[:, :, None] >> bit_idx) & jnp.uint32(1))
+            bits_w = bits_w.astype(jnp.int32).astype(jnp.float32)
+            lo = wi * 32
+            hi = min(lo + 32, p)
+            qw = qu[:, lo:hi]                        # (QB, <=32)
+            fs_e = fs_e + jax.lax.dot_general(
+                bits_w[:, :, : hi - lo], qw,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )                                        # (QB, R)
-        )
+            )
+        fs_parts.append(fs_e)
     fs = jnp.concatenate(fs_parts, axis=1)           # (QB, ER)
     nop = jnp.concatenate(nop_parts, axis=1)
     ip_qo_raw = jnp.concatenate(qo_parts, axis=1)

@@ -291,9 +291,10 @@ def search_batch(
                 ],
                 axis=-1,
             )
-            planes = jax.lax.bitcast_convert_type(
+            planes_wm = jax.lax.bitcast_convert_type(
                 g[..., 5 * r :], jnp.uint32
-            ).reshape(q, expand_width, r, bits, neighbors.words)
+            ).reshape(q, expand_width, bits, neighbors.words, r)
+            planes = jnp.moveaxis(planes_wm, 4, 2)     # (Q,E,R,B,W)
             u = pack.unpack_planes(planes, p).reshape(q, er, p)
             fs = jnp.einsum(
                 "qrp,qp->qr", u, qc.q_u, preferred_element_type=jnp.int32
