@@ -13,6 +13,13 @@ fused rows in and (est, lower) out.
 reference implementation and the fallback for bits >= 2 (see
 search/beam.py `use_pallas`).  TPU blocks must be (8, 128)-aligned on the
 last two dims, hence the 8-query blocking.
+
+STATUS: verified equivalent to the XLA path in interpret mode (tests);
+Mosaic's automatic vector-layout inference on this jax version rejects
+every formulation tried for the sub-128-lane bit-expansion tiles
+(transpose reshapes, accumulating matmuls, 32-lane concats).  Round-2
+plan: rewrite with explicit VMEM scratch + manual DMA (memory_space=ANY)
+so tile layouts are chosen by hand instead of inferred.
 """
 
 from __future__ import annotations
@@ -54,24 +61,25 @@ def _kernel(g_ref, qu_ref, sc_ref, dqp_ref, est_ref, lower_ref, *, r, e, w, p):
         )
         # word-major planes: slice one (QB, R) u32 tile per word, expand a
         # trailing 32-lane bit dim (broadcast, not a lane-splitting
-        # reshape), and accumulate per-word partial dots
+        # reshape), concatenate the per-word bit tiles along lanes and do
+        # ONE matmul (Mosaic requires constant matmul accumulators, so
+        # per-word accumulate-into-fs is not lowerable)
         bit_idx = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
-        fs_e = jnp.zeros((QB, r), jnp.float32)
+        tiles = []
         for wi in range(w):
             word = jax.lax.bitcast_convert_type(
                 ge[:, 5 * r + wi * r : 5 * r + (wi + 1) * r], jnp.uint32
             )                                        # (QB, R)
             bits_w = ((word[:, :, None] >> bit_idx) & jnp.uint32(1))
-            bits_w = bits_w.astype(jnp.int32).astype(jnp.float32)
-            lo = wi * 32
-            hi = min(lo + 32, p)
-            qw = qu[:, lo:hi]                        # (QB, <=32)
-            fs_e = fs_e + jax.lax.dot_general(
-                bits_w[:, :, : hi - lo], qw,
+            tiles.append(bits_w.astype(jnp.int32).astype(jnp.float32))
+        u = jnp.concatenate(tiles, axis=2)[:, :, :p]  # (QB, R, P)
+        fs_parts.append(
+            jax.lax.dot_general(
+                u, qu,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-        fs_parts.append(fs_e)
+        )
     fs = jnp.concatenate(fs_parts, axis=1)           # (QB, ER)
     nop = jnp.concatenate(nop_parts, axis=1)
     ip_qo_raw = jnp.concatenate(qo_parts, axis=1)
