@@ -183,3 +183,68 @@ def build_sharded_store(
         **{k: jnp.asarray(np.stack(v)) for k, v in parts.items()}
     )
     return store, new_to_old
+
+
+class ShardedIndex:
+    """User-facing facade over the sharded store: CPIndex semantics with
+    the database partitioned over the mesh's "model" axis.
+
+    Each shard builds an independent CP-HNSW subgraph (per-shard EVT-CRC
+    calibration from shard 0's subgraph, which is representative for i.i.d.
+    partitions); a search runs per-chip DABS + the cross-chip all-gather
+    top-k merge and returns ids in the caller's original vector order.
+    """
+
+    def __init__(self, dim: int, bits: int = 1, r: int = 32, seed: int = 42):
+        from cphnsw_tpu.ops import hadamard
+
+        self.dim = dim
+        self.bits = bits
+        self.r = r
+        self.seed = seed
+        self._padded = hadamard.next_pow2(dim)
+        self._signs = hadamard.rotation_signs(seed, self._padded)
+        self._store = None
+        self._mesh = None
+        self._params = None
+        self._new_to_old = None
+        self._n = 0
+
+    def build(self, vectors: np.ndarray, mesh: Mesh):
+        from cphnsw_tpu.calibration import calibrate as calib_mod
+        from cphnsw_tpu.graph.build import NeighborStore
+
+        self._n = len(vectors)
+        n_model = mesh.shape["model"]
+        store, new_to_old = build_sharded_store(
+            vectors, self.bits, self.r, n_model, self._signs, self.seed
+        )
+        nb0 = NeighborStore.pack(
+            store.nbr_ids[0], store.nbr_planes[0], store.nbr_aux[0]
+        )
+        profile = calib_mod.IndexProfile.derive(
+            int(store.raw.shape[1]), self._padded, self.r, self.bits
+        )
+        snap = calib_mod.calibrate(
+            store.raw[0], store.norm_sq[0], nb0, self._signs, self.bits,
+            profile,
+        )
+        self._params = calib_mod.to_search_params(snap)
+        self._store = shard_store(store, mesh)
+        self._mesh = mesh
+        self._new_to_old = new_to_old
+        return self
+
+    def search_batch(self, queries: np.ndarray, k: int = 10):
+        ids, dists = sharded_search(
+            self._store, jnp.asarray(queries, jnp.float32), self._params,
+            self._signs, self._mesh, bits=self.bits, k=k,
+        )
+        ids = np.asarray(ids)
+        mapped = np.where(
+            ids >= 0, self._new_to_old[np.maximum(ids, 0)], -1
+        )
+        # padded duplicate rows (shard padding) may alias the final vector;
+        # clamp out-of-range ids
+        mapped = np.where(mapped < self._n, mapped, self._n - 1)
+        return mapped.astype(np.int64), np.asarray(dists)

@@ -121,3 +121,20 @@ def test_search_determinism(rng):
     )
     np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
     np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_index_facade(rng):
+    n, dim = 1600, 24
+    centers = rng.standard_normal((12, dim)).astype(np.float32) * 4.0
+    x = centers[rng.integers(0, 12, n)] + rng.standard_normal((n, dim)).astype(
+        np.float32
+    )
+    mesh = sharded.make_mesh(2, 4)
+    index = sharded.ShardedIndex(dim=dim, bits=1, r=16).build(x, mesh)
+    queries = x[rng.choice(n, 32, replace=False)]
+    d = ((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d, 1)[:, :10]
+    ids, dists = index.search_batch(queries, k=10)
+    recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
+    assert recall > 0.88, f"sharded facade recall@10={recall}"
