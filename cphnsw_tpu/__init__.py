@@ -41,5 +41,13 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
 
 from cphnsw_tpu.api.index import CPIndex, Index
 
-__all__ = ["CPIndex", "Index"]
+__all__ = ["CPIndex", "Index", "ShardedIndex"]
+
+
+def __getattr__(name):  # lazy: parallel/ pulls in shard_map machinery
+    if name == "ShardedIndex":
+        from cphnsw_tpu.parallel.sharded import ShardedIndex
+
+        return ShardedIndex
+    raise AttributeError(name)
 __version__ = "0.1.0"
