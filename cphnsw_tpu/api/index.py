@@ -230,7 +230,7 @@ class Index:
             beam_cap=max(2 * self._r, 4 * k_eff),
             max_steps=self._max_steps(),
             expand_width=self._expand_width,
-            visited_hash_bits=13 if self._n > 100_000 else 0,
+            visited_hash_bits=13 if self._n >= 50_000 else 0,
         )
         ids = np.asarray(ids)[:nq]
         dists = np.asarray(dists)[:nq]
