@@ -38,7 +38,7 @@ from cphnsw_tpu.ops import hadamard, quantize
 from cphnsw_tpu.search import beam
 
 MAGIC = "CPHNSW-TPU"
-VERSION = 2
+VERSION = 3
 DEFAULT_R = 32  # reference fixes R=32 in the bindings (src/bindings.cpp:42)
 
 
@@ -243,11 +243,14 @@ class Index:
                 -np.inf,
             ).astype(np.float32)
         mapped = np.where(ids >= 0, self._new_to_old[np.maximum(ids, 0)], -1)
-        if k_eff < k:  # pad like the reference bindings (-1 / FLT_MAX)
+        if k_eff < k:  # pad like the reference bindings (-1 / FLT_MAX);
+            # ip scores are larger-is-better, so their invalid slots use
+            # -inf to keep pad entries ranked last under either convention
             pad_i = np.full((len(queries), k - k_eff), -1, np.int64)
-            pad_d = np.full(
-                (len(queries), k - k_eff), np.finfo(np.float32).max
+            pad_val = (
+                -np.inf if self._metric == "ip" else np.finfo(np.float32).max
             )
+            pad_d = np.full((len(queries), k - k_eff), pad_val, np.float32)
             mapped = np.concatenate([mapped, pad_i], axis=1)
             dists = np.concatenate([dists, pad_d], axis=1)
         return mapped.astype(np.int64), dists
@@ -307,6 +310,13 @@ class Index:
             "n": self._n,
             "rotation_seed": self._seed,
             "entry_point": self._entry,
+            "metric": self._metric,
+            "ip_norm_bound": self._ip_norm_bound,
+            "entry_strategy": self._entry_strategy,
+            "upper_levels": 0 if self._upper is None
+            else len(self._upper.node_ids),
+            "upper_entry": None if self._upper is None
+            else int(self._upper.entry_global),
             "calibration": self._snapshot.to_dict(),
             "profile": self._profile.to_dict(),
             "graph_stats": self._stats.to_dict() if self._stats else None,
@@ -320,11 +330,7 @@ class Index:
                 return o.tolist()
             raise TypeError(f"not jsonable: {type(o)}")
 
-        np.savez_compressed(
-            path,
-            header=np.frombuffer(
-                json.dumps(header, default=_jsonable).encode(), dtype=np.uint8
-            ),
+        arrays = dict(
             raw=np.asarray(self._raw),
             norm_sq=np.asarray(self._norm_sq),
             node_nop=np.asarray(self._node_nop),
@@ -334,6 +340,20 @@ class Index:
             nbr_ids=np.asarray(self._neighbors.ids),
             nbr_planes=np.asarray(self._neighbors.planes),
             nbr_aux=np.asarray(self._neighbors.aux),
+        )
+        if self._upper is not None:
+            for i in range(len(self._upper.node_ids)):
+                arrays[f"upper_ids_{i}"] = np.asarray(self._upper.node_ids[i])
+                arrays[f"upper_nbr_{i}"] = np.asarray(self._upper.nbr_idx[i])
+                arrays[f"upper_lm_{i}"] = np.asarray(
+                    self._upper.local_of_global[i]
+                )
+        np.savez_compressed(
+            path,
+            header=np.frombuffer(
+                json.dumps(header, default=_jsonable).encode(), dtype=np.uint8
+            ),
+            **arrays,
         )
 
     def load(self, path: str | Path):
@@ -357,6 +377,11 @@ class Index:
                 raise ValueError("Index file bits/R parameters mismatch.")
             if header["rotation_seed"] != self._seed:
                 raise ValueError("Index file rotation seed mismatch.")
+            if header["metric"] != self._metric:
+                raise ValueError(
+                    f"Index file metric={header['metric']!r} mismatches "
+                    f"constructor metric={self._metric!r}"
+                )
 
             neighbors = NeighborStore.pack(
                 jnp.asarray(z["nbr_ids"]),
@@ -369,11 +394,39 @@ class Index:
             centroid = jnp.asarray(z["centroid"])
             new_to_old = np.asarray(z["new_to_old"])
             entry_candidates = jnp.asarray(z["entry_candidates"])
+            upper = None
+            if header.get("upper_levels", 0) > 0:
+                from cphnsw_tpu.api import upper_layers as ul
+
+                lv = header["upper_levels"]
+                upper = ul.UpperLayers(
+                    node_ids=tuple(
+                        jnp.asarray(z[f"upper_ids_{i}"]) for i in range(lv)
+                    ),
+                    nbr_idx=tuple(
+                        jnp.asarray(z[f"upper_nbr_{i}"]) for i in range(lv)
+                    ),
+                    local_of_global=tuple(
+                        jnp.asarray(z[f"upper_lm_{i}"]) for i in range(lv)
+                    ),
+                    entry_global=int(header["upper_entry"]),
+                )
 
         # all reads succeeded -> commit
         self._n = header["n"]
-        self._padded = header["padded"]
+        if header["padded"] != self._padded:
+            # regenerate the rotation for the file's padded dim (same seed)
+            self._padded = header["padded"]
+            self._signs = hadamard.rotation_signs(self._seed, self._padded)
         self._entry = header["entry_point"]
+        self._ip_norm_bound = header.get("ip_norm_bound")
+        self._entry_strategy = header.get("entry_strategy", "seed")
+        self._upper = upper
+        gs = header.get("graph_stats")
+        if gs is not None:
+            from cphnsw_tpu.graph import stats as gstats
+
+            self._stats = gstats.GraphStats.from_dict(gs)
         self._neighbors = neighbors
         self._raw = raw
         self._norm_sq = norm_sq

@@ -72,6 +72,51 @@ def test_save_load_roundtrip(built, rng, tmp_path):
     np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
 
 
+def test_save_load_roundtrip_ip_metric(rng, tmp_path):
+    """An IP-metric index must restore metric/_ip_norm_bound (reference
+    save fully determines search behavior, hnsw_index.hpp:217-443)."""
+    from cphnsw_tpu.api.index import Index
+
+    x = make_data(rng, n=800, dim=24)
+    x *= rng.uniform(0.7, 1.4, size=(800, 1)).astype(np.float32)
+    index = Index(dim=24, bits=1, metric="ip")
+    index.build(x)
+    index.finalize()
+    path = tmp_path / "ip.npz"
+    index.save(path)
+
+    loaded = Index(dim=24, bits=1, metric="ip").load(path)
+    queries = rng.standard_normal((12, 24)).astype(np.float32)
+    ids_a, s_a = index.search_batch(queries, k=5)
+    ids_b, s_b = loaded.search_batch(queries, k=5)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(s_a, s_b, rtol=1e-6)
+
+    # an l2 Index must refuse an ip-built file
+    with pytest.raises(ValueError, match="metric"):
+        Index(dim=24, bits=1, metric="l2").load(path)
+
+
+def test_save_load_roundtrip_hnsw_entry(rng, tmp_path):
+    """hnsw-entry indexes must restore the upper-layer hierarchy."""
+    from cphnsw_tpu.api.index import Index
+
+    x = make_data(rng, n=900, dim=16)
+    index = Index(dim=16, bits=1, entry_strategy="hnsw")
+    index.build(x)
+    index.finalize()
+    path = tmp_path / "hnsw.npz"
+    index.save(path)
+
+    loaded = Index(dim=16, bits=1, entry_strategy="hnsw").load(path)
+    assert (loaded._upper is None) == (index._upper is None)
+    queries = x[rng.choice(len(x), 10, replace=False)]
+    ids_a, d_a = index.search_batch(queries, k=5)
+    ids_b, d_b = loaded.search_batch(queries, k=5)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+
+
 def test_load_validates_params(built, tmp_path):
     index, x = built
     path = tmp_path / "index.npz"
