@@ -1,88 +1,103 @@
-"""CLI entrypoint for ``python -m cphnsw_tpu`` (cphnsw-tpu-eval).
+"""CLI entrypoint: ``python -m cphnsw_tpu --config <yaml>``.
 
-Mirrors /root/reference/cphnsw/__main__.py:17-69: the same --config YAML
-contract and JSON-lines event output (benchmark_start, summary)."""
+Event contract shared with the reference CLI
+(/root/reference/cphnsw/__main__.py:17-69): one ``benchmark_start`` JSON
+line per dataset and one ``summary`` JSON line per (dataset, algorithm)
+with build_time_min / memory_gib / recall_at_10 / qps.  Parsing, flow and
+options are this framework's own (notably: summaries stream after each
+dataset instead of after the whole run, and --bits / --profile-dir extend
+the contract).
+"""
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 from pathlib import Path
 
 
-def _load_yaml(path: Path) -> dict:
+def read_config(path: Path) -> dict:
+    """Parse the benchmark YAML; degrades to a tiny two-level parser when
+    PyYAML is unavailable (the config grammar is section/key/scalar)."""
+    text = path.read_text()
     try:
         import yaml
-
-        with path.open() as f:
-            return yaml.safe_load(f)
     except ImportError:
-        # minimal fallback: the benchmark config is a 2-level yaml
-        cfg: dict = {}
-        section = None
-        for line in path.read_text().splitlines():
-            if not line.strip() or line.strip().startswith("#"):
-                continue
-            if not line.startswith(" "):
-                section = line.rstrip(":").strip()
-                cfg[section] = {}
-            else:
-                key, _, val = line.strip().partition(":")
-                val = val.strip()
-                if val.isdigit():
-                    val = int(val)
-                cfg[section][key.strip()] = val
-        return cfg
+        return _parse_two_level(text)
+    return yaml.safe_load(text)
 
 
-def main(argv: list[str] | None = None) -> None:
-    from cphnsw_tpu.utils.datasets import ALL_DATASETS
-    from cphnsw_tpu.utils.eval import MB_PER_GIB, SECS_PER_MIN, run_benchmark
+def _parse_two_level(text: str) -> dict:
+    root: dict = {}
+    current: dict | None = None
+    for raw in text.splitlines():
+        stripped = raw.split("#", 1)[0].rstrip()
+        if not stripped.strip():
+            continue
+        indented = stripped[0] in " \t"
+        key, _, value = stripped.strip().partition(":")
+        value = value.strip()
+        if not indented:
+            current = root.setdefault(key, {})
+        elif current is not None:
+            try:
+                current[key] = int(value)
+            except ValueError:
+                current[key] = value
+    return root
 
-    parser = argparse.ArgumentParser(
+
+def emit(event: str, **fields) -> None:
+    print(json.dumps({"event": event, **fields}), flush=True)
+
+
+def main(argv=None) -> int:
+    from cphnsw_tpu.utils import datasets as ds_mod
+    from cphnsw_tpu.utils.eval import run_benchmark
+
+    ap = argparse.ArgumentParser(
         prog="cphnsw_tpu",
-        description="Run CP-HNSW-TPU benchmark evaluation.",
+        description="CP-HNSW-TPU benchmark runner (JSON-lines events).",
     )
-    parser.add_argument(
-        "--config", type=Path, required=True,
-        help="Path to benchmark config YAML.",
+    ap.add_argument("--config", type=Path, required=True)
+    ap.add_argument(
+        "--bits", type=int, nargs="*", default=None,
+        help="restrict bit widths (default: 1 2 4)",
     )
-    args = parser.parse_args(argv)
+    ap.add_argument(
+        "--profile-dir", type=Path, default=None,
+        help="capture a JAX profiler trace of the first timed pass",
+    )
+    opts = ap.parse_args(argv)
 
-    cfg = _load_yaml(args.config)
-    output_dir = Path(cfg["run"]["output_dir"])
-    output_dir.mkdir(parents=True, exist_ok=True)
+    cfg = read_config(opts.config)
+    wanted = cfg["data"]["dataset"]
+    names = ds_mod.ALL_DATASETS if wanted == "all" else [wanted]
 
-    dataset = cfg["data"]["dataset"]
-    base_dir = Path(cfg["data"]["base_dir"])
-    datasets = ALL_DATASETS if dataset == "all" else [dataset]
-
-    k = cfg["eval"]["k"]
-    n_runs = cfg["eval"]["n_runs"]
-
-    all_outputs = []
-    for ds_name in datasets:
-        print(
-            json.dumps({"event": "benchmark_start", "dataset": ds_name}),
-            flush=True,
+    for name in names:
+        emit("benchmark_start", dataset=name)
+        report = run_benchmark(
+            name,
+            base_dir=Path(cfg["data"]["base_dir"]),
+            k=cfg["eval"]["k"],
+            n_runs=cfg["eval"]["n_runs"],
+            output_dir=Path(cfg["run"]["output_dir"]),
+            bit_widths=opts.bits,
+            profile_dir=opts.profile_dir,
         )
-        output = run_benchmark(ds_name, base_dir, k, n_runs, output_dir)
-        all_outputs.append(output)
-
-    for output in all_outputs:
-        dataset_name = output["metadata"]["dataset"]
-        for algo in output["results"]:
-            summary = {
-                "event": "summary",
-                "dataset": dataset_name,
-                "algorithm": algo["algorithm"],
-                "build_time_min": round(algo["build_time_s"] / SECS_PER_MIN, 4),
-                "memory_gib": round(algo["memory_mb"] / MB_PER_GIB, 4),
-                "recall_at_10": algo["recall_at_10"],
-                "qps": algo["qps"],
-            }
-            print(json.dumps(summary), flush=True)
+        for case in report["results"]:
+            emit(
+                "summary",
+                dataset=name,
+                algorithm=case["algorithm"],
+                build_time_min=round(case["build_time_s"] / 60.0, 4),
+                memory_gib=round(case["memory_mb"] / 1024.0, 4),
+                recall_at_10=case["recall_at_10"],
+                qps=case["qps"],
+            )
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -1,17 +1,26 @@
 """Benchmark evaluation harness.
 
-Mirrors /root/reference/cphnsw/eval.py:14-119: same metric definitions
-(recall@{1,10,100}, ADR, QPS as median of n_runs full-batch passes after one
-warmup, median latency, build time, RSS memory delta) and the same
-per-bit-width loop and results-JSON schema, so results are comparable 1:1
-with the reference harness.
+The metric DEFINITIONS and the results-JSON schema are a compatibility
+contract with the reference harness (/root/reference/cphnsw/eval.py:14-119)
+so numbers are comparable 1:1: recall@k over the first k ids, ADR (average
+distance ratio at k=10), QPS as the median of n_runs timed full-batch passes
+after one untimed warmup, median per-query latency, wall-clock build time,
+and RSS memory delta.  Everything else — structure, phases, profiling — is
+this framework's own.
+
+Optional tracing: pass profile_dir (or set CPHNSW_PROFILE_DIR) to capture a
+JAX profiler trace of the first timed search pass, viewable in TensorBoard
+or Perfetto.
 """
 
 from __future__ import annotations
 
+import contextlib
 import gc
 import json
+import os
 import time
+from dataclasses import dataclass, asdict
 from pathlib import Path
 
 import numpy as np
@@ -19,35 +28,133 @@ import numpy as np
 from cphnsw_tpu.api.index import CPIndex
 from cphnsw_tpu.utils.datasets import load_dataset
 
-BIT_WIDTHS = [1, 2, 4]
-ADR_K = 10
-ADR_EPS = 1e-30
-US_PER_SEC = 1e6
-BYTES_PER_MB = 1024**2
-SECS_PER_MIN = 60.0
-MB_PER_GIB = 1024.0
+DEFAULT_BITS = (1, 2, 4)
+ADR_AT = 10
 
 
-def _rss_mb() -> float:
+@dataclass
+class CaseResult:
+    """One (dataset, bit-width) measurement — field names are the schema."""
+
+    algorithm: str
+    build_time_s: float
+    memory_mb: float
+    recall_at_1: float
+    recall_at_10: float
+    recall_at_100: float
+    adr: float
+    qps: float
+    median_latency_us: float
+
+
+def recall_at_k(found: np.ndarray, truth: np.ndarray, k: int) -> float:
+    """Fraction of the true top-k present in the returned top-k
+    (intersection size / k, averaged over queries)."""
+    k = min(k, found.shape[1], truth.shape[1])
+    overlap = (found[:, :k, None] == truth[:, None, :k]).any(axis=2)
+    return float(overlap.mean())
+
+def average_distance_ratio(
+    base: np.ndarray, queries: np.ndarray, found: np.ndarray,
+    truth: np.ndarray, k: int,
+) -> float:
+    """Mean over (query, rank<=k) of d(q, found_i) / d(q, true_i); missing
+    results (-1 ids) count as infinitely bad."""
+    k = min(k, found.shape[1], truth.shape[1])
+
+    def sq_dists(ids):
+        vecs = base[np.maximum(ids[:, :k], 0)]
+        d = ((vecs - queries[:, None, :]) ** 2).sum(axis=2)
+        return np.where(ids[:, :k] >= 0, d, np.inf)
+
+    denom = np.maximum(sq_dists(truth), np.finfo(np.float64).tiny)
+    return float(np.mean(sq_dists(found) / denom))
+
+
+def resident_mb() -> float:
+    """Process RSS in MB (psutil if present, /proc fallback)."""
     try:
         import psutil
 
-        return psutil.Process().memory_info().rss / BYTES_PER_MB
+        return psutil.Process().memory_info().rss / 2**20
     except Exception:
-        with open("/proc/self/status") as f:
-            for line in f:
-                if line.startswith("VmRSS"):
-                    return float(line.split()[1]) / 1024.0
+        pass
+    try:
+        with open("/proc/self/status") as fh:
+            for ln in fh:
+                if ln.startswith("VmRSS"):
+                    return float(ln.split()[1]) / 1024.0
+    except OSError:
+        pass
     return 0.0
 
 
-def recall_at_k(results: np.ndarray, ground_truth: np.ndarray, k: int) -> float:
-    """Same definition as the reference (eval.py:23-28)."""
-    eval_k = min(k, results.shape[1], ground_truth.shape[1])
-    res = results[:, :eval_k]
-    gt = ground_truth[:, :eval_k]
-    hits = np.any(res[:, :, None] == gt[:, None, :], axis=2)
-    return float(hits.sum(axis=1).mean()) / eval_k
+@contextlib.contextmanager
+def _maybe_profile(profile_dir: str | os.PathLike | None):
+    target = profile_dir or os.environ.get("CPHNSW_PROFILE_DIR")
+    if not target:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(str(target))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def _timed_passes(search, queries, n_runs, profile_dir=None):
+    """One untimed warmup (covers jit compilation), then n_runs timed
+    passes; returns (ids from the first timed pass, per-pass seconds)."""
+    search(queries)
+    seconds, first_ids = [], None
+    for i in range(max(n_runs, 1)):
+        ctx = _maybe_profile(profile_dir) if i == 0 else contextlib.nullcontext()
+        with ctx:
+            begin = time.perf_counter()
+            ids = search(queries)
+            seconds.append(time.perf_counter() - begin)
+        if first_ids is None:
+            first_ids = ids
+    return first_ids, seconds
+
+
+def bench_one_case(
+    base, queries, truth, *, dim, bits, k, n_runs, profile_dir=None,
+) -> CaseResult:
+    gc.collect()
+    rss_at_start = resident_mb()
+    build_begin = time.perf_counter()
+    index = CPIndex(dim=dim, bits=bits)
+    index.build(base)
+    index.finalize()
+    build_seconds = time.perf_counter() - build_begin
+    gc.collect()
+    footprint = resident_mb() - rss_at_start
+
+    def search(batch):
+        return np.asarray(index.search_batch(batch, k=k)[0])
+
+    ids, seconds = _timed_passes(search, queries, n_runs, profile_dir)
+    median_s = float(np.median(seconds))
+
+    return CaseResult(
+        algorithm=f"cphnsw-tpu-{bits}bit",
+        build_time_s=round(build_seconds, 2),
+        memory_mb=round(footprint, 1),
+        recall_at_1=round(recall_at_k(ids, truth, 1), 4),
+        recall_at_10=round(recall_at_k(ids, truth, min(k, 10)), 4),
+        recall_at_100=round(recall_at_k(ids, truth, min(k, 100)), 4),
+        adr=round(
+            average_distance_ratio(
+                base, queries, ids, truth, min(k, ADR_AT)
+            ),
+            6,
+        ),
+        qps=round(len(queries) / median_s, 1),
+        median_latency_us=round(median_s / len(queries) * 1e6, 2),
+    )
 
 
 def run_benchmark(
@@ -57,92 +164,39 @@ def run_benchmark(
     n_runs: int,
     output_dir: Path,
     bit_widths=None,
+    profile_dir=None,
 ) -> dict:
+    """Benchmark every bit width on one dataset; writes
+    <output_dir>/<dataset>_results.json and returns its contents."""
     ds = load_dataset(dataset_name, base_dir=base_dir)
-    base = ds["base"]
-    queries = ds["queries"]
-    gt = ds["groundtruth"].astype(np.int64)
-    dim = ds["dim"]
+    truth = ds["groundtruth"].astype(np.int64)
 
-    adr_k = min(k, ADR_K, gt.shape[1])
-    gt_ids = gt[:, :adr_k].astype(np.int64)
-    gt_dists = np.sum((base[gt_ids] - queries[:, None, :]) ** 2, axis=2)
-
-    results = []
-    for bits in bit_widths or BIT_WIDTHS:
-        algorithm = f"cphnsw-tpu-{bits}bit"
-
-        gc.collect()
-        rss_before = _rss_mb()
-        t0 = time.perf_counter()
-
-        index = CPIndex(dim=dim, bits=bits)
-        index.build(base)
-        index.finalize()
-
-        build_time = time.perf_counter() - t0
-        gc.collect()
-        mem_mb = _rss_mb() - rss_before
-
-        def search_fn(batch):
-            ids, _ = index.search_batch(batch, k=k)
-            return np.asarray(ids)
-
-        search_fn(queries)  # warmup / compile
-        times = []
-        t0 = time.perf_counter()
-        ids = search_fn(queries)
-        times.append(time.perf_counter() - t0)
-        for _ in range(n_runs - 1):
-            t0 = time.perf_counter()
-            search_fn(queries)
-            times.append(time.perf_counter() - t0)
-        med_time = float(np.median(times))
-        qps_val = len(queries) / med_time
-
-        r1 = recall_at_k(ids, gt, 1)
-        r10 = recall_at_k(ids, gt, min(k, 10))
-        r100 = recall_at_k(ids, gt, min(k, 100))
-        lat_us = med_time / len(queries) * US_PER_SEC
-
-        res_ids = ids[:, :adr_k].astype(np.int64)
-        safe_ids = np.maximum(res_ids, 0)
-        res_dists = np.sum((base[safe_ids] - queries[:, None, :]) ** 2, axis=2)
-        res_dists = np.where(res_ids >= 0, res_dists, np.inf)
-        adr = float(np.mean(res_dists / np.maximum(gt_dists, ADR_EPS)))
-
-        results.append(
-            {
-                "algorithm": algorithm,
-                "build_time_s": round(build_time, 2),
-                "memory_mb": round(mem_mb, 1),
-                "recall_at_1": round(r1, 4),
-                "recall_at_10": round(r10, 4),
-                "recall_at_100": round(r100, 4),
-                "adr": round(adr, 6),
-                "qps": round(qps_val, 1),
-                "median_latency_us": round(lat_us, 2),
-            }
+    cases = [
+        bench_one_case(
+            ds["base"], ds["queries"], truth,
+            dim=ds["dim"], bits=bits, k=k, n_runs=n_runs,
+            profile_dir=profile_dir,
         )
-        del index
-        gc.collect()
+        for bits in (bit_widths or DEFAULT_BITS)
+    ]
 
-    output = {
+    report = {
         "metadata": {
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "dataset": dataset_name,
-            "n_base": len(base),
-            "n_queries": len(queries),
-            "dim": dim,
+            "n_base": len(ds["base"]),
+            "n_queries": len(ds["queries"]),
+            "dim": ds["dim"],
             "metric": "l2",
             "k": k,
             "n_runs": n_runs,
         },
-        "results": results,
+        "results": [asdict(c) for c in cases],
     }
 
-    output_dir = Path(output_dir)
-    output_dir.mkdir(parents=True, exist_ok=True)
-    with (output_dir / f"{dataset_name}_results.json").open("w") as f:
-        json.dump(output, f, indent=2)
-    return output
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / f"{dataset_name}_results.json").write_text(
+        json.dumps(report, indent=2)
+    )
+    return report
