@@ -40,10 +40,14 @@ class NeighborStore:
     contiguous int32 row, channel-contiguous so kernels slice channels
     without transposing reshapes (Mosaic restriction):
     [ids (R)] [nop (R)] [ip_qo (R)] [ip_cp (R)] [wpc (R)] [planes
-    (R*bits*W) u32-bitcast, coordinate-major per edge].  One ~1 KB row
-    gather per popped node replaces three ~0.5 KB gathers.  `ids` is also
-    kept standalone (graph algorithms use it heavily); logical views
-    derive from `fused`.
+    (R*bits*W) u32-bitcast, plane-major (plane 0 = MSB first) with words
+    inner] [zero pad].  One ~1 KB row gather per popped node replaces
+    three ~0.5 KB gathers.  Rows are zero-padded to a multiple of 128
+    int32 so the fused Pallas step kernel can DMA each node row as a
+    (S, 128) tile (ops/fused_step.py); for R=32 every channel then
+    occupies a 32-lane quarter of a 128-lane row.  `ids` is also kept
+    standalone (graph algorithms use it heavily); logical views derive
+    from `fused`.
 
     Registered as a pytree with (r, bits, words) as static aux data so the
     layout metadata stays python-level under jit.
@@ -51,7 +55,7 @@ class NeighborStore:
 
     def __init__(self, ids, fused, r: int, bits: int, words: int):
         self.ids = ids      # (N, R) int32, -1 = none
-        self.fused = fused  # (N, F) int32, F = R*(1 + 4 + bits*W)
+        self.fused = fused  # (N, F) int32, F = R*(1+4+bits*W) + pad
         self.r = r
         self.bits = bits
         self.words = words
@@ -77,7 +81,8 @@ class NeighborStore:
     @property
     def planes(self):
         n = self.fused.shape[0]
-        p = self.fused[:, 5 * self.r :]
+        end = (5 + self.bits * self.words) * self.r
+        p = self.fused[:, 5 * self.r : end]
         pw = jax.lax.bitcast_convert_type(p, jnp.uint32).reshape(
             n, self.bits, self.words, self.r
         )
@@ -108,12 +113,18 @@ class NeighborStore:
             aux.astype(jnp.float32), jnp.int32
         )  # (N, R, 4)
         chans = [aux_i[:, :, c] for c in range(4)]
-        # planes stored word-major: fused col 5R + (b*W + w)*R + rr
-        # (kernels slice a full (N-block, R) tile per (bit-plane, word))
+        # planes stored plane-major (MSB plane first), words inner: fused
+        # col 5R + (b*W + w)*R + rr (kernels slice a full (N-block, R)
+        # tile per (bit-plane, word); the MSB prefix is contiguous for the
+        # two-stage N-bit skip)
         planes_i = jnp.moveaxis(
             jax.lax.bitcast_convert_type(planes, jnp.int32), 1, 3
         ).reshape(n, bits * w * r)
         fused = jnp.concatenate([ids, *chans, planes_i], axis=1)
+        if fused.shape[1] % 128:
+            fused = jnp.pad(
+                fused, [(0, 0), (0, 128 - fused.shape[1] % 128)]
+            )
         return NeighborStore(
             ids=ids, fused=fused, r=r, bits=bits, words=w
         )

@@ -44,6 +44,8 @@ class ShardedStore(NamedTuple):
     nbr_planes: jax.Array     # (S, N_s, R, B, W)
     nbr_aux: jax.Array        # (S, N_s, R, 4)
     entry_candidates: jax.Array  # (S, M)
+    orig_ids: jax.Array       # (S, N_s) int32: caller's original vector
+    #                           index per local node (>= n for pad rows)
 
 
 def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
@@ -64,7 +66,9 @@ def shard_store(store: ShardedStore, mesh: Mesh) -> ShardedStore:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "mesh"),
+    static_argnames=(
+        "bits", "k", "beam_cap", "max_steps", "n_seeds", "mesh", "n_real"
+    ),
 )
 def sharded_search(
     store: ShardedStore,
@@ -77,15 +81,21 @@ def sharded_search(
     beam_cap: int = 128,
     max_steps: int = 512,
     n_seeds: int = 4,
+    n_real: int | None = None,
 ):
     """Global top-k over all shards.
 
     queries: (Q, dim) with Q divisible by the "data" axis size.  Returns
     (ids (Q, k) int32 GLOBAL ids = shard * N_s + local, dists (Q, k)).
-    """
-    n_local = store.raw.shape[1]
 
-    def local_search(raw, norm_sq, ids, planes, aux, cands, q):
+    Returned ids are the CALLER'S ORIGINAL vector indices (the per-shard
+    orig_ids arrays are applied device-side before the merge).  n_real:
+    number of genuine (un-padded) vectors; rows whose original id >= n_real
+    are shard-padding duplicates and are masked out before the cross-shard
+    merge so they can never displace a distinct neighbor.
+    """
+
+    def local_search(raw, norm_sq, ids, planes, aux, cands, orig, q):
         # shard_map hands us the local block with the sharded axis size 1
         raw, norm_sq = raw[0], norm_sq[0]
         neighbors = NeighborStore.pack(ids[0], planes[0], aux[0])
@@ -94,10 +104,13 @@ def sharded_search(
             bits=bits, k=k, beam_cap=beam_cap, max_steps=max_steps,
             n_seeds=n_seeds,
         )
-        shard = jax.lax.axis_index("model")
         global_ids = jnp.where(
-            local_ids >= 0, local_ids + shard * n_local, -1
+            local_ids >= 0, orig[0][jnp.maximum(local_ids, 0)], -1
         )
+        if n_real is not None:
+            pad_row = global_ids >= n_real
+            global_ids = jnp.where(pad_row, -1, global_ids)
+            local_d = jnp.where(pad_row, FLOAT_MAX, local_d)
         # cross-chip top-k merge along the model axis
         all_ids = jax.lax.all_gather(global_ids, "model", axis=0)  # (S,Q,k)
         all_d = jax.lax.all_gather(local_d, "model", axis=0)
@@ -108,7 +121,7 @@ def sharded_search(
         return jnp.take_along_axis(all_ids, sel, axis=1), -neg_top
 
     in_specs = (
-        *(P("model") for _ in range(6)),
+        *(P("model") for _ in range(7)),
         P("data", None),
     )
     out_specs = (P("data", None), P("data", None))
@@ -137,7 +150,8 @@ def build_sharded_store(
     n = len(vectors)
     per = -(-n // n_shards)
     # pad the dataset so every shard has the same size (duplicates of the
-    # last vector; they are deduplicated at merge by distance ordering)
+    # last vector; their original ids are >= n so sharded_search masks
+    # them out before the cross-shard merge)
     pad = per * n_shards - n
     if pad:
         vectors = np.concatenate([vectors, vectors[-1:].repeat(pad, 0)], 0)
@@ -157,6 +171,7 @@ def build_sharded_store(
         n2o = np.empty(per, np.int64)
         n2o[res.old_to_new] = np.arange(per)
         new_to_old[s * per : (s + 1) * per] = n2o + s * per
+        parts["orig_ids"].append((n2o + s * per).astype(np.int32))
 
         m = int(min(per, max(16, 4 * np.sqrt(per))))
         rng = np.random.default_rng(seed + 7 + s)
@@ -185,14 +200,43 @@ def build_sharded_store(
     return store, new_to_old
 
 
+def _pooled_params(store, signs, bits, r, padded, max_shards=3):
+    """EVT-CRC calibration pooled over up to max_shards shard subgraphs:
+    each shard is calibrated independently and the per-field median is
+    taken (robust to one unlucky partition; i.i.d. partitions make the
+    shards near-exchangeable so the median is a consistent estimate)."""
+    from cphnsw_tpu.calibration import calibrate as calib_mod
+    from cphnsw_tpu.graph.build import NeighborStore
+
+    n_local = int(store.raw.shape[1])
+    profile = calib_mod.IndexProfile.derive(n_local, padded, r, bits)
+    per_shard = []
+    for s in range(min(int(store.raw.shape[0]), max_shards)):
+        nb = NeighborStore.pack(
+            store.nbr_ids[s], store.nbr_planes[s], store.nbr_aux[s]
+        )
+        snap = calib_mod.calibrate(
+            store.raw[s], store.norm_sq[s], nb, signs, bits, profile,
+        )
+        per_shard.append(calib_mod.to_search_params(snap))
+    if len(per_shard) == 1:
+        return per_shard[0]
+    pooled = {
+        f: jnp.median(jnp.stack([getattr(p, f) for p in per_shard]), axis=0)
+        for f in per_shard[0]._fields
+    }
+    pooled["gamma_warmup"] = pooled["gamma_warmup"].astype(jnp.int32)
+    return beam.SearchParams(**pooled)
+
+
 class ShardedIndex:
     """User-facing facade over the sharded store: CPIndex semantics with
     the database partitioned over the mesh's "model" axis.
 
-    Each shard builds an independent CP-HNSW subgraph (per-shard EVT-CRC
-    calibration from shard 0's subgraph, which is representative for i.i.d.
-    partitions); a search runs per-chip DABS + the cross-chip all-gather
-    top-k merge and returns ids in the caller's original vector order.
+    Each shard builds an independent CP-HNSW subgraph; EVT-CRC calibration
+    is pooled (median) over several shard subgraphs; a search runs
+    per-chip DABS + the cross-chip all-gather top-k merge and returns ids
+    in the caller's original vector order.
     """
 
     def __init__(self, dim: int, bits: int = 1, r: int = 32, seed: int = 42):
@@ -207,44 +251,94 @@ class ShardedIndex:
         self._store = None
         self._mesh = None
         self._params = None
-        self._new_to_old = None
         self._n = 0
 
     def build(self, vectors: np.ndarray, mesh: Mesh):
-        from cphnsw_tpu.calibration import calibrate as calib_mod
-        from cphnsw_tpu.graph.build import NeighborStore
-
         self._n = len(vectors)
         n_model = mesh.shape["model"]
-        store, new_to_old = build_sharded_store(
+        store, _ = build_sharded_store(
             vectors, self.bits, self.r, n_model, self._signs, self.seed
         )
-        nb0 = NeighborStore.pack(
-            store.nbr_ids[0], store.nbr_planes[0], store.nbr_aux[0]
+        self._params = _pooled_params(
+            store, self._signs, self.bits, self.r, self._padded
         )
-        profile = calib_mod.IndexProfile.derive(
-            int(store.raw.shape[1]), self._padded, self.r, self.bits
-        )
-        snap = calib_mod.calibrate(
-            store.raw[0], store.norm_sq[0], nb0, self._signs, self.bits,
-            profile,
-        )
-        self._params = calib_mod.to_search_params(snap)
         self._store = shard_store(store, mesh)
         self._mesh = mesh
-        self._new_to_old = new_to_old
         return self
 
     def search_batch(self, queries: np.ndarray, k: int = 10):
         ids, dists = sharded_search(
             self._store, jnp.asarray(queries, jnp.float32), self._params,
-            self._signs, self._mesh, bits=self.bits, k=k,
+            self._signs, self._mesh, bits=self.bits, k=k, n_real=self._n,
         )
-        ids = np.asarray(ids)
-        mapped = np.where(
-            ids >= 0, self._new_to_old[np.maximum(ids, 0)], -1
+        return np.asarray(ids).astype(np.int64), np.asarray(dists)
+
+    # ---------------------------------------------------------- persist
+    def save(self, path):
+        """Serialize the sharded store + pooled calibration (one npz).
+        Mirrors Index.save's role for the sharded facade; the mesh itself
+        is runtime state and is re-supplied at load."""
+        import json
+
+        if self._store is None:
+            raise RuntimeError("ShardedIndex must be built before saving.")
+        header = {
+            "magic": "CPHNSW-TPU-SHARDED",
+            "version": 1,
+            "dim": self.dim,
+            "bits": self.bits,
+            "r": self.r,
+            "seed": self.seed,
+            "n": self._n,
+            "params": {
+                f: np.asarray(getattr(self._params, f)).tolist()
+                for f in self._params._fields
+            },
+        }
+        arrays = {
+            f: np.asarray(getattr(self._store, f))
+            for f in ShardedStore._fields
+        }
+        np.savez_compressed(
+            path,
+            header=np.frombuffer(
+                json.dumps(header).encode(), dtype=np.uint8
+            ),
+            **arrays,
         )
-        # padded duplicate rows (shard padding) may alias the final vector;
-        # clamp out-of-range ids
-        mapped = np.where(mapped < self._n, mapped, self._n - 1)
-        return mapped.astype(np.int64), np.asarray(dists)
+
+    def load(self, path, mesh: Mesh):
+        import json
+
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"].tobytes()).decode())
+            if header.get("magic") != "CPHNSW-TPU-SHARDED":
+                raise ValueError("Not a sharded CPHNSW-TPU index file.")
+            if (header["dim"], header["bits"], header["r"]) != (
+                self.dim, self.bits, self.r
+            ):
+                raise ValueError("Index file dim/bits/R mismatch.")
+            if header["seed"] != self.seed:
+                raise ValueError("Index file rotation seed mismatch.")
+            if int(z["raw"].shape[0]) != mesh.shape["model"]:
+                raise ValueError(
+                    f"Index file has {z['raw'].shape[0]} shards; mesh "
+                    f"model axis is {mesh.shape['model']}."
+                )
+            store = ShardedStore(
+                **{f: jnp.asarray(z[f]) for f in ShardedStore._fields}
+            )
+            pf = header["params"]
+        self._n = header["n"]
+        self._params = beam.SearchParams(
+            **{
+                f: (
+                    jnp.int32(pf[f]) if f == "gamma_warmup"
+                    else jnp.asarray(pf[f], jnp.float32)
+                )
+                for f in beam.SearchParams._fields
+            }
+        )
+        self._store = shard_store(store, mesh)
+        self._mesh = mesh
+        return self

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from cphnsw_tpu.graph.build import NeighborStore
-from cphnsw_tpu.ops import estimate, hadamard, pack, pallas_step, quantize
+from cphnsw_tpu.ops import estimate, fused_step, hadamard, pack, quantize
 
 FLOAT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
 EPS_SMALL = 1e-12
@@ -257,31 +257,48 @@ def search_batch(
         dot_slack = params.slack_levels[level]
         slack_cnt = s.slack_cnt + expand_e.sum(1).astype(jnp.int32)
 
-        # ---- neighbor blocks for all E popped nodes: ONE fused gather ----
+        # ---- score all E*R candidates per query ----
         er = expand_width * r
-        g = neighbors.fused[cur_safe]                          # (Q, E, F)
-        nbr_ids = g[..., :r].reshape(q, er)
-        valid = (nbr_ids >= 0) & jnp.repeat(expand_e, r, axis=1)
-        nbr_safe = jnp.where(valid, nbr_ids, 0)
-
-        if use_pallas and bits == 1:
-            # fused VMEM-resident estimate kernel (ops/pallas_step.py)
-            scalars = jnp.stack(
-                [
-                    qc.coeff_a, qc.coeff_b, qc.coeff_c,
-                    jnp.broadcast_to(params.affine_a, (q,)),
-                    jnp.broadcast_to(params.affine_b, (q,)),
-                    jnp.broadcast_to(params.ip_qo_floor, (q,)),
-                    dot_slack,
-                    jnp.zeros((q,)),
-                ],
-                axis=1,
-            ).astype(jnp.float32)
-            est, lower = pallas_step.fused_estimate_1bit(
-                g, qc.q_u.astype(jnp.float32), scalars, d_qp_sq,
-                r=r, e=expand_width, w=neighbors.words, p=p,
+        if use_pallas:
+            # fused gather+score kernel: the node-row gather, bit-plane
+            # unpack, MXU fastscan, and distance conversion all run in
+            # VMEM (ops/fused_step.py); HBM traffic is rows in, tiles out
+            scalars = jnp.zeros((q, 128), jnp.float32)
+            scalars = scalars.at[:, 0].set(qc.coeff_a)
+            scalars = scalars.at[:, 1].set(qc.coeff_b)
+            scalars = scalars.at[:, 2].set(qc.coeff_c)
+            scalars = scalars.at[:, 3].set(
+                jnp.broadcast_to(params.affine_a, (q,))
             )
+            scalars = scalars.at[:, 4].set(
+                jnp.broadcast_to(params.affine_b, (q,))
+            )
+            scalars = scalars.at[:, 5].set(
+                jnp.broadcast_to(params.ip_qo_floor, (q,))
+            )
+            scalars = scalars.at[:, 6].set(dot_slack)
+            groups = (expand_width + 3) // 4
+            dqp_flat_k = jnp.repeat(d_qp_sq, r, axis=1)
+            if groups * 128 != er:
+                dqp_flat_k = jnp.pad(
+                    dqp_flat_k, [(0, 0), (0, groups * 128 - er)]
+                )
+            n_rows = neighbors.fused.shape[0]
+            est, lower, nbr_ids = fused_step.fused_score(
+                cur_safe, qc.q_u.astype(jnp.float32), scalars, dqp_flat_k,
+                neighbors.fused.reshape(n_rows, -1, 128),
+                bits=bits, e=expand_width, p=p,
+            )
+            est = est[:, :er]
+            lower = lower[:, :er]
+            nbr_ids = nbr_ids[:, :er]
+            valid = (nbr_ids >= 0) & jnp.repeat(expand_e, r, axis=1)
+            nbr_safe = jnp.where(valid, nbr_ids, 0)
         else:
+            g = neighbors.fused[cur_safe]                      # (Q, E, F)
+            nbr_ids = g[..., :r].reshape(q, er)
+            valid = (nbr_ids >= 0) & jnp.repeat(expand_e, r, axis=1)
+            nbr_safe = jnp.where(valid, nbr_ids, 0)
             aux_g = jnp.stack(
                 [
                     jax.lax.bitcast_convert_type(
@@ -292,7 +309,7 @@ def search_batch(
                 axis=-1,
             )
             planes_wm = jax.lax.bitcast_convert_type(
-                g[..., 5 * r :], jnp.uint32
+                g[..., 5 * r : (5 + bits * neighbors.words) * r], jnp.uint32
             ).reshape(q, expand_width, bits, neighbors.words, r)
             planes = jnp.moveaxis(planes_wm, 4, 2)     # (Q,E,R,B,W)
             u = pack.unpack_planes(planes, p).reshape(q, er, p)

@@ -211,15 +211,3 @@ def test_caq_matches_reference_port(rng, signs):
             assert agree > 0.9, f"bits={bits} vec={i}: agree={agree}"
 
 
-def test_pallas_gather_rows_interpret(rng):
-    """Pallas row gather matches XLA indexing (interpret mode on CPU)."""
-    from cphnsw_tpu.ops import pallas_gather
-
-    src = rng.integers(0, 1000, (200, 128)).astype(np.int32)
-    idx = rng.integers(0, 200, 64).astype(np.int32)
-    got = np.asarray(
-        pallas_gather.gather_rows(
-            jnp.asarray(src), jnp.asarray(idx), interpret=True
-        )
-    )
-    np.testing.assert_array_equal(got, src[idx])
