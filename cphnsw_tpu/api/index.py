@@ -168,6 +168,7 @@ class Index:
             verbose=verbose,
         )
         self._params = calib_mod.to_search_params(self._snapshot)
+        self._derive_step_budget(verbose=verbose)
 
         self._needs_build = False
         self._finalized = True
@@ -228,9 +229,9 @@ class Index:
             jnp.asarray(q_in), self._params,
             bits=self._bits, k=k_eff,
             beam_cap=max(2 * self._r, 4 * k_eff),
-            max_steps=self._max_steps(),
+            max_steps=self._max_steps(k_eff),
             expand_width=self._expand_width,
-            visited_hash_bits=13 if self._n >= 50_000 else 0,
+            visited_hash_bits=self._visited_hash_bits(),
         )
         ids = np.asarray(ids)[:nq]
         dists = np.asarray(dists)[:nq]
@@ -269,16 +270,90 @@ class Index:
         cand = np.unique(np.concatenate([[self._entry], cand]))
         return jnp.asarray(cand.astype(np.int32))
 
-    def _max_steps(self) -> int:
-        # Measured on TPU with expand_width=4: recall saturates by ~48
-        # steps at 100k (0.9711 at ms=48 == ms=64 == ms=256) while 1M keeps
-        # gaining to ~128 (0.90@64 -> 0.93@128) — expansion demand grows
-        # superlinearly past ~300k nodes.  Piecewise coefficient fits the
-        # measured points; scaled by 4/expand_width.
-        ew = max(self._expand_width, 1)
-        coef = 12.0 if self._n < 300_000 else 20.0
-        need = coef * np.log2(max(self._n, 2)) * (4.0 / ew) / 4.0
-        return int(np.clip(need, 40, 512))
+    def _visited_hash_bits(self) -> int:
+        # Hash-table visited dedup above 50k nodes, table size scaling
+        # with n like the reference's visitation_headroom = clamp(n/4,
+        # 256, n) (core/adaptive_defaults.hpp:80-82); capped at 2^18
+        # slots (1 MB/query).
+        if self._n < 50_000:
+            return 0
+        return int(np.clip(np.ceil(np.log2(self._n / 4)), 13, 18))
+
+    def _derive_step_budget(self, verbose: bool = False):
+        """Measure the step budget from this index's own data: run
+        calibration-style queries (database rows + jittered synthetics,
+        the recipe of calibrate_estimator's query set,
+        hnsw_index.hpp:873-890) with a generous cap and record each
+        query's LAST RESULT-IMPROVEMENT step; the budget is the 99th
+        percentile + 25% slack.  Measured at two k anchors (10, 100) so
+        query-time budgets interpolate instead of relying on workload-
+        tuned constants (the "zero search parameters" contract,
+        reference README)."""
+        rng = np.random.default_rng(self._seed + 4242)
+        m = int(min(256, self._n))
+        ids = rng.choice(self._n, size=m, replace=False)
+        db_q = np.asarray(self._raw[jnp.asarray(ids)])
+        sigma = db_q.std(axis=0, keepdims=True)
+        half = m // 2
+        synth = db_q[:half] + rng.standard_normal(
+            (half, db_q.shape[1])
+        ).astype(np.float32) * sigma
+        queries = np.concatenate([db_q[half:], synth], axis=0)
+        # pad to the jit bucket grid (power of two, >= 64)
+        bucket = 1 << max(6, (len(queries) - 1).bit_length())
+        if bucket != len(queries):
+            queries = np.concatenate(
+                [queries, queries[-1:].repeat(bucket - len(queries), 0)]
+            )
+
+        cap = 512
+        budgets = {}
+        for k_anchor in (10, 100):
+            k_eff = min(k_anchor, self._n)
+            out = beam.search_batch(
+                self._raw, self._norm_sq, self._neighbors,
+                self._entry_candidates, self._signs,
+                jnp.asarray(queries), self._params,
+                bits=self._bits, k=k_eff,
+                beam_cap=max(2 * self._r, 4 * k_eff),
+                max_steps=cap,
+                expand_width=self._expand_width,
+                visited_hash_bits=self._visited_hash_bits(),
+                debug_state=True,
+            )
+            state = out[2]
+            li = np.asarray(state.last_improve)
+            budget = int(np.ceil(np.quantile(li, 0.99) * 1.25))
+            budgets[k_anchor] = int(np.clip(budget, 16, cap))
+            if verbose:
+                print(
+                    f"step budget k={k_anchor}: last_improve "
+                    f"p50={np.quantile(li, .5):.0f} "
+                    f"p99={np.quantile(li, .99):.0f} -> {budgets[k_anchor]}",
+                    flush=True,
+                )
+        self._step_budget = budgets
+
+    def _max_steps(self, k: int = 10) -> int:
+        """Budget for a k-NN search: log-k interpolation between the two
+        measured anchors, rounded up to a multiple of 8 for jit-cache
+        reuse.  Falls back to a dimension-free heuristic for legacy
+        snapshots without measured budgets."""
+        sb = getattr(self, "_step_budget", None)
+        if not sb:
+            ew = max(self._expand_width, 1)
+            coef = 12.0 if self._n < 300_000 else 20.0
+            need = coef * np.log2(max(self._n, 2)) * (4.0 / ew) / 4.0
+            return int(np.clip(need, 40, 512))
+        s10, s100 = sb[10], sb[100]
+        if k <= 10:
+            need = s10
+        elif k >= 100:
+            need = s100
+        else:
+            t = (np.log10(k) - 1.0)  # log10(k/10) over one decade
+            need = s10 + (s100 - s10) * t
+        return int(np.clip(8 * np.ceil(need / 8.0), 16, 512))
 
     # ------------------------------------------------------------- state
     @property
@@ -317,6 +392,7 @@ class Index:
             else len(self._upper.node_ids),
             "upper_entry": None if self._upper is None
             else int(self._upper.entry_global),
+            "step_budget": getattr(self, "_step_budget", None),
             "calibration": self._snapshot.to_dict(),
             "profile": self._profile.to_dict(),
             "graph_stats": self._stats.to_dict() if self._stats else None,
@@ -421,6 +497,10 @@ class Index:
         self._entry = header["entry_point"]
         self._ip_norm_bound = header.get("ip_norm_bound")
         self._entry_strategy = header.get("entry_strategy", "seed")
+        sb = header.get("step_budget")
+        self._step_budget = (
+            {int(kk): int(vv) for kk, vv in sb.items()} if sb else None
+        )
         self._upper = upper
         gs = header.get("graph_stats")
         if gs is not None:

@@ -85,6 +85,8 @@ class BeamState(NamedTuple):
     slack_cnt: jax.Array   # (Q,) int32
     done: jax.Array        # (Q,)
     steps: jax.Array       # ()
+    last_improve: jax.Array  # (Q,) int32: step of last result-set change
+    #   (drives the build-time step-budget derivation, api/index.py)
 
 
 def _merge_results(res_ids, res_d, cand_ids, cand_d, k: int):
@@ -212,6 +214,7 @@ def search_batch(
         slack_cnt=jnp.zeros(q, jnp.int32),
         done=jnp.zeros(q, dtype=bool),
         steps=jnp.int32(0),
+        last_improve=jnp.zeros(q, jnp.int32),
     )
 
     def cond(s: BeamState):
@@ -424,6 +427,10 @@ def search_batch(
         )
         res_ids = jnp.where(expand[:, None], res_ids_new, s.res_ids)
         res_d = jnp.where(expand[:, None], res_d_new, s.res_d)
+        improved = expand & (res_d != s.res_d).any(1)
+        last_improve = jnp.where(
+            improved & active, s.steps + 1, s.last_improve
+        )
 
         # ---- DABS enqueue gate (:229-232, :248-271) ----
         d_k_new = res_d[:, k - 1]
@@ -495,6 +502,7 @@ def search_batch(
             slack_cnt=slack_cnt,
             done=done,
             steps=s.steps + 1,
+            last_improve=last_improve,
         )
 
     final = jax.lax.while_loop(cond, body, state)
