@@ -41,7 +41,7 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
 
 from cphnsw_tpu.api.index import CPIndex, Index
 
-__all__ = ["CPIndex", "Index", "ShardedIndex"]
+__all__ = ["CPIndex", "Index", "ScanIndex", "ShardedIndex"]
 
 
 def __getattr__(name):  # lazy: parallel/ pulls in shard_map machinery
@@ -49,5 +49,9 @@ def __getattr__(name):  # lazy: parallel/ pulls in shard_map machinery
         from cphnsw_tpu.parallel.sharded import ShardedIndex
 
         return ShardedIndex
+    if name == "ScanIndex":
+        from cphnsw_tpu.api.scan_index import ScanIndex
+
+        return ScanIndex
     raise AttributeError(name)
 __version__ = "0.1.0"

@@ -1,0 +1,346 @@
+"""ScanIndex: the flat (graph-free) MXU-scan index facade.
+
+Same public contract as CPIndex/Index (reference src/bindings.cpp:115-240:
+build / finalize / search / search_batch / save / load / size / dim /
+is_finalized, zero search-tuning parameters) over the full-database scan
+engine in search/scan.py.  On TPU this is the fastest operating point of
+the framework at the reference's benchmark scales (100k-1M): one MXU
+int8 contraction estimates every database distance, lax.approx_max_k
+selects candidates, and the exact-L2 rerank matches the reference's
+(search/rabitq_search.hpp:132-133).
+
+Where the reference derives beam gates from EVT calibration, the scan's
+single derived quantity is the candidate budget top_c(k): measured at
+finalize() time as the tail quantile of the rank the true k-th neighbor
+gets under the estimate ordering (search/scan.py::derive_candidate_budget)
+— no user-facing knobs, preserving the calibration-parameterless contract.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cphnsw_tpu.ops import hadamard, quantize
+from cphnsw_tpu.search import scan
+
+MAGIC = "CPHNSW-TPU-SCAN"
+VERSION = 1
+ENCODE_CHUNK = 1 << 17  # rows per encode dispatch (bounds HBM intermediates)
+
+
+class ScanIndex:
+    """Flat calibrated-scan index.  Constructor mirrors Index(dim, bits,
+    metric); see module docstring."""
+
+    def __init__(
+        self,
+        dim: int,
+        bits: int = 1,
+        rotation_seed: int = hadamard.DEFAULT_ROTATION_SEED,
+        metric: str = "l2",
+    ):
+        if dim <= 0:
+            raise ValueError("dim must be > 0")
+        if bits not in (1, 2, 4):
+            raise ValueError("bits must be one of {1, 2, 4}")
+        if metric not in ("l2", "ip"):
+            raise ValueError("metric must be 'l2' or 'ip'")
+        self._dim = dim
+        self._bits = bits
+        self._seed = rotation_seed
+        self._metric = metric
+        self._ip_norm_bound = None
+        self._inner_dim = dim + 1 if metric == "ip" else dim
+        self._padded = hadamard.next_pow2(self._inner_dim)
+        self._signs = hadamard.rotation_signs(rotation_seed, self._padded)
+
+        self._n = 0
+        self._finalized = False
+        self._needs_build = False
+        self._vectors_host = None
+
+        # populated by finalize
+        self._arrays: scan.ScanArrays | None = None
+        self._centroid = None
+        self._node_host = None  # dict of per-node np arrays (for save)
+        self._affine_a = 1.0
+        self._affine_b = 0.0
+        self._ip_qo_floor = 0.0
+        self._budget: scan.CandidateBudget | None = None
+
+    # ------------------------------------------------------------- build
+    def build(self, vectors: np.ndarray):
+        """Stage vectors (reference Index::build, hnsw_index.hpp:93-120;
+        encoding is deferred to finalize so build+finalize timing matches
+        the reference's split of cheap staging vs heavy finalize)."""
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self._dim:
+            raise ValueError(
+                f"expected (n, {self._dim}) float32 array, got {vectors.shape}"
+            )
+        if len(vectors) == 0:
+            raise ValueError("build requires at least one vector.")
+        self._n = len(vectors)
+        if self._metric == "ip":
+            norms_sq = (vectors.astype(np.float64) ** 2).sum(1)
+            bound_sq = float(norms_sq.max())
+            self._ip_norm_bound = bound_sq
+            aug = np.sqrt(np.maximum(bound_sq - norms_sq, 0.0))
+            vectors = np.concatenate(
+                [vectors, aug[:, None].astype(np.float32)], axis=1
+            )
+        self._vectors_host = vectors
+        self._finalized = False
+        self._needs_build = True
+        return self
+
+    def finalize(self, verbose: bool = False):
+        """Encode + calibrate + derive the candidate budget."""
+        if self._n == 0:
+            raise RuntimeError("Cannot finalize an empty index.")
+        if not self._needs_build:
+            raise RuntimeError("Finalize called without a pending build.")
+        n = self._n
+        n_pad = scan.store_pad(n)
+        vecs = self._vectors_host
+        if n_pad != n:
+            vecs = np.concatenate(
+                [vecs, np.zeros((n_pad - n, vecs.shape[1]), np.float32)]
+            )
+        raw = hadamard.pad_to(jnp.asarray(vecs), self._padded)
+        norm_sq = jnp.sum(raw * raw, axis=-1)
+        centroid = quantize.compute_centroid(raw[:n])
+        rot_centroid = hadamard.rotate(centroid, self._signs)
+        kappa = float((1 << self._bits) - 1)
+
+        codes, nops, qos, cps, wpcs = [], [], [], [], []
+        for s in range(0, n_pad, ENCODE_CHUNK):
+            e = min(s + ENCODE_CHUNK, n_pad)
+            enc = quantize.encode_vectors(
+                raw[s:e], centroid, self._signs, self._bits
+            )
+            cbar = (2.0 * enc.u.astype(jnp.float32) - kappa) / kappa
+            ip_cp = cbar @ rot_centroid / jnp.sqrt(float(self._padded))
+            codes.append(enc.u.astype(jnp.int8))
+            nops.append(enc.nop)
+            qos.append(enc.ip_qo)
+            cps.append(ip_cp)
+            wpcs.append(enc.u.sum(axis=-1).astype(jnp.int32))
+        codes_i8 = jnp.concatenate(codes)
+        nop = jnp.concatenate(nops)
+        ip_qo = jnp.concatenate(qos)
+        ip_cp = jnp.concatenate(cps)
+        wpc = jnp.concatenate(wpcs)
+
+        a, b, floor = scan.calibrate_scan_affine(
+            raw, codes_i8, nop, ip_qo, ip_cp, wpc, centroid, self._signs,
+            n, self._bits, seed=self._seed + 99999,
+        )
+        node_aux = scan.fold_node_constants(
+            nop, ip_qo, ip_cp, wpc, jnp.asarray(floor, jnp.float32),
+            jnp.asarray(n),
+        )
+        arrays = scan.ScanArrays(
+            codes_i8=codes_i8, node_aux=node_aux, raw=raw, norm_sq=norm_sq
+        )
+        budget = scan.derive_candidate_budget(
+            arrays, self._signs, a, b, n, kappa, seed=self._seed + 4242
+        )
+        if verbose:
+            print(
+                f"scan budget anchors={budget.anchors.tolist()} "
+                f"ranks={budget.ranks.tolist()} affine=({a:.4f},{b:.4f})",
+                flush=True,
+            )
+
+        self._node_host = dict(
+            nop=np.asarray(nop), ip_qo=np.asarray(ip_qo),
+            ip_cp=np.asarray(ip_cp), wpc=np.asarray(wpc),
+            codes=np.asarray(codes_i8),
+        )
+        self._arrays = arrays
+        self._centroid = centroid
+        self._affine_a, self._affine_b, self._ip_qo_floor = a, b, floor
+        self._budget = budget
+        self._vectors_host = None
+        self._needs_build = False
+        self._finalized = True
+        return self
+
+    # ------------------------------------------------------------ search
+    def search_batch(self, queries: np.ndarray, k: int = 10):
+        """Batch search; returns (ids (Q,k) int64, dists (Q,k) f32 squared
+        L2, or scores for metric='ip')."""
+        if not self._finalized:
+            raise RuntimeError("Index must be finalized before searching.")
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self._dim:
+            raise ValueError(
+                f"expected (q, {self._dim}) float32 queries, got "
+                f"{queries.shape}"
+            )
+        k = max(int(k), 1)
+        k_eff = min(k, self._n)
+        if self._metric == "ip":
+            queries = np.concatenate(
+                [queries, np.zeros((len(queries), 1), np.float32)], axis=1
+            )
+
+        nq = len(queries)
+        bucket = 1 << max(6, (nq - 1).bit_length())
+        q_in = queries
+        if bucket != nq:
+            q_in = np.concatenate(
+                [queries, np.repeat(queries[-1:], bucket - nq, axis=0)]
+            )
+
+        n_pad = self._arrays.codes_i8.shape[0]
+        nc = scan.num_chunks(n_pad, bucket)
+        top_c = self._budget.top_c(k_eff, self._n)
+        top_c = min(top_c, n_pad // nc)  # approx_max_k bound per chunk
+        top_c = max(top_c, k_eff)
+        ids, dists = scan.scan_search(
+            self._arrays, jnp.asarray(q_in), self._signs,
+            jnp.asarray(self._affine_a, jnp.float32),
+            jnp.asarray(self._affine_b, jnp.float32),
+            jnp.asarray(self._n),
+            kappa=float((1 << self._bits) - 1),
+            k=k_eff, top_c=top_c, n_chunks=nc,
+        )
+        ids = np.asarray(ids)[:nq].astype(np.int64)
+        dists = np.asarray(dists)[:nq]
+        if self._metric == "ip":
+            qn = (queries[:nq, : self._dim] ** 2).sum(1, keepdims=True)
+            dists = np.where(
+                dists < np.finfo(np.float32).max,
+                (qn + self._ip_norm_bound - dists) / 2.0,
+                -np.inf,
+            ).astype(np.float32)
+        if k_eff < k:
+            pad_i = np.full((nq, k - k_eff), -1, np.int64)
+            pad_val = (
+                -np.inf if self._metric == "ip" else np.finfo(np.float32).max
+            )
+            pad_d = np.full((nq, k - k_eff), pad_val, np.float32)
+            ids = np.concatenate([ids, pad_i], axis=1)
+            dists = np.concatenate([dists, pad_d], axis=1)
+        return ids, dists
+
+    def search(self, query: np.ndarray, k: int = 10):
+        query = np.ascontiguousarray(query, dtype=np.float32)
+        ids, dists = self.search_batch(query[None, :], k)
+        return ids[0], dists[0]
+
+    # ------------------------------------------------------------- state
+    @property
+    def size(self) -> int:
+        return self._n
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    @property
+    def is_finalized(self) -> bool:
+        return self._finalized
+
+    # ------------------------------------------------------------ persist
+    def save(self, path: str | Path):
+        """Serialize (scan-mode analog of Index::save,
+        hnsw_index.hpp:217-303): header JSON + arrays in one npz."""
+        if not self._finalized:
+            raise RuntimeError("Index must be finalized before saving.")
+        header = {
+            "magic": MAGIC,
+            "version": VERSION,
+            "dim": self._dim,
+            "padded": self._padded,
+            "bits": self._bits,
+            "n": self._n,
+            "rotation_seed": self._seed,
+            "metric": self._metric,
+            "ip_norm_bound": self._ip_norm_bound,
+            "affine_a": self._affine_a,
+            "affine_b": self._affine_b,
+            "ip_qo_floor": self._ip_qo_floor,
+            "budget_anchors": self._budget.anchors.tolist(),
+            "budget_ranks": self._budget.ranks.tolist(),
+        }
+        np.savez_compressed(
+            path,
+            header=np.frombuffer(
+                json.dumps(header).encode(), dtype=np.uint8
+            ),
+            raw=np.asarray(self._arrays.raw),
+            centroid=np.asarray(self._centroid),
+            **self._node_host,
+        )
+
+    def load(self, path: str | Path):
+        """Restore; validates magic/version/dim/bits/metric/seed, commits
+        atomically (reference Index::load, hnsw_index.hpp:305-443)."""
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"].tobytes()).decode())
+            if header.get("magic") != MAGIC:
+                raise ValueError("Not a CPHNSW-TPU scan index file.")
+            if header.get("version") != VERSION:
+                raise ValueError(
+                    f"Unsupported scan index version {header.get('version')}"
+                )
+            if header["dim"] != self._dim:
+                raise ValueError(
+                    f"Index file dim={header['dim']} mismatches dim="
+                    f"{self._dim}"
+                )
+            if header["bits"] != self._bits:
+                raise ValueError("Index file bits parameter mismatch.")
+            if header["rotation_seed"] != self._seed:
+                raise ValueError("Index file rotation seed mismatch.")
+            if header["metric"] != self._metric:
+                raise ValueError(
+                    f"Index file metric={header['metric']!r} mismatches "
+                    f"constructor metric={self._metric!r}"
+                )
+            node_host = dict(
+                nop=np.asarray(z["nop"]), ip_qo=np.asarray(z["ip_qo"]),
+                ip_cp=np.asarray(z["ip_cp"]), wpc=np.asarray(z["wpc"]),
+                codes=np.asarray(z["codes"]),
+            )
+            raw_h = np.asarray(z["raw"])
+            centroid_h = np.asarray(z["centroid"])
+
+        self._n = header["n"]
+        if header["padded"] != self._padded:
+            self._padded = header["padded"]
+            self._signs = hadamard.rotation_signs(self._seed, self._padded)
+        self._ip_norm_bound = header.get("ip_norm_bound")
+        self._affine_a = float(header["affine_a"])
+        self._affine_b = float(header["affine_b"])
+        self._ip_qo_floor = float(header["ip_qo_floor"])
+        self._budget = scan.CandidateBudget(
+            anchors=np.asarray(header["budget_anchors"], np.int64),
+            ranks=np.asarray(header["budget_ranks"], np.int64),
+        )
+        self._node_host = node_host
+        raw = jnp.asarray(raw_h)
+        node_aux = scan.fold_node_constants(
+            jnp.asarray(node_host["nop"]), jnp.asarray(node_host["ip_qo"]),
+            jnp.asarray(node_host["ip_cp"]), jnp.asarray(node_host["wpc"]),
+            jnp.asarray(self._ip_qo_floor, jnp.float32),
+            jnp.asarray(self._n),
+        )
+        self._arrays = scan.ScanArrays(
+            codes_i8=jnp.asarray(node_host["codes"]),
+            node_aux=node_aux,
+            raw=raw,
+            norm_sq=jnp.sum(raw * raw, axis=-1),
+        )
+        self._centroid = jnp.asarray(centroid_h)
+        self._finalized = True
+        self._needs_build = False
+        return self

@@ -1,0 +1,464 @@
+"""Full-database MXU scan: the TPU-first search path.
+
+The reference reaches sub-linear work per query with a pointer-chasing
+graph traversal (search/rabitq_search.hpp:60-277) because a CPU core is
+latency-optimized.  A TPU chip is the opposite: one (Q, P) x (P, N) int8
+contraction on the MXU estimates the distance from every query to EVERY
+database code at ~100k codes/query/us, so at million scale the optimal
+design is a calibrated full scan + approximate top-C selection + exact
+rerank, not a traversal.  This module is that path; the graph/beam stack
+(search/beam.py) remains available and is used by the sharded mesh search.
+
+Algebra (exact same estimator as the reference, folded for the MXU):
+the calibrated distance estimate (distance/fastscan_kernel.hpp:89-194)
+
+    est = nop^2 + d_qc^2 - 2*nop*(a*(ip_approx - ip_cp)/max(ip_qo,floor) + b)
+    ip_approx = (A/kappa)*fs + (B/kappa)*wpc + C,   fs = <codes_u, q_u>
+
+is, per query, an affine function of fs: dropping the per-query constant
+d_qc^2 (every node shares the dataset-centroid parent) the ranking score
+
+    score = nop^2 - 2*b*nop - 2*a*g*(ip_approx - ip_cp),
+    g     = nop / max(ip_qo, floor)   (0 where ip_qo is degenerate)
+
+splits into one int8 MXU matmul (fs) plus a rank-5 node-constant term,
+with NO (Q, N) elementwise decode chain.  Selection uses
+lax.approx_max_k (TPU-native partial reduction); candidates get the same
+exact-L2 rerank as the reference (rabitq_search.hpp:132-133).
+
+Large N runs as a lax.scan over fixed-size code chunks carrying a
+running top-C, so the (Q, N) score matrix never materializes in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cphnsw_tpu.ops import estimate, hadamard, quantize
+from cphnsw_tpu.ops.quantize import EPS_MEDIUM
+
+FLOAT_MAX = jnp.finfo(jnp.float32).max
+# Pad-row sentinel added to scores via the node-constant channel: large
+# enough to rank last, small enough that (-score) stays finite.
+PAD_SCORE = 1e30
+# approx_max_k per-chunk recall target; the derived candidate budget's
+# safety margin (RANK_SAFETY in derive_candidate_budget) absorbs the
+# boundary misses.
+APPROX_RECALL = 0.98
+# Score-buffer budget per chunk in f32 elements (Q * chunk <= this):
+# 2^27 elements = 512 MB, comfortably inside a v5e's 16 GB HBM next to
+# codes + raw vectors.
+CHUNK_ELEMENTS = 1 << 27
+MIN_CHUNK = 1 << 15
+
+
+class ScanArrays(NamedTuple):
+    """Device-resident folded constants for the scan (built once per
+    calibration; see fold_node_constants)."""
+
+    codes_i8: jax.Array   # (N_pad, P) int8 code levels
+    node_aux: jax.Array   # (6, N_pad) f32: [nop^2(+pad), nop, g*wpc, g, g*ip_cp, g]
+    raw: jax.Array        # (N_pad, P) f32 zero-padded raw vectors
+    norm_sq: jax.Array    # (N_pad,)
+
+
+def store_pad(n: int) -> int:
+    """Rows the store is padded to: a multiple of MIN_CHUNK above it
+    (so any divisor of n_pad/MIN_CHUNK is a valid chunk count at any
+    query-batch size), a multiple of 256 below."""
+    if n <= MIN_CHUNK:
+        return -(-n // 256) * 256
+    return -(-n // MIN_CHUNK) * MIN_CHUNK
+
+
+def num_chunks(n_pad: int, q: int) -> int:
+    """Smallest valid chunk count keeping Q*chunk under the score budget."""
+    if n_pad <= MIN_CHUNK:
+        return 1
+    granules = n_pad // MIN_CHUNK
+    need = max(1, -(-q * n_pad // CHUNK_ELEMENTS))
+    if need >= granules:
+        return granules
+    for d in range(need, granules + 1):
+        if granules % d == 0:
+            return d
+    return granules
+
+
+@jax.jit
+def fold_node_constants(nop, ip_qo, ip_cp, wpc, ip_qo_floor, n):
+    """Fold per-node estimator constants into the rank-5(+g) form.
+
+    Rows pair with the query-side coefficients in _query_side below.
+    Rows at index >= n are padding: their score contribution is PAD_SCORE
+    so they always rank last.
+    """
+    n_pad = nop.shape[0]
+    qo = jnp.maximum(ip_qo, ip_qo_floor)
+    good = qo > EPS_MEDIUM
+    g = jnp.where(good, nop / jnp.maximum(qo, EPS_MEDIUM), 0.0)
+    valid = jnp.arange(n_pad) < n
+    row0 = jnp.where(valid, nop * nop, PAD_SCORE)
+    return jnp.stack(
+        [
+            row0,                              # x 1
+            nop,                               # x -2b
+            g * wpc.astype(jnp.float32),       # x -2a*B/kappa
+            g,                                 # x -2a*C
+            g * ip_cp,                         # x +2a
+            g,                                 # fs scale (not matmul'd)
+        ],
+        axis=0,
+    )
+
+
+def _query_side(qpad, signs, affine_a, affine_b, kappa):
+    """Encode queries and build the rank-5 coefficient rows + fs weight."""
+    qc = quantize.encode_queries(qpad, signs)
+    a = jnp.asarray(affine_a, jnp.float32)
+    b = jnp.asarray(affine_b, jnp.float32)
+    w_fs = -2.0 * a * qc.coeff_a / kappa                       # (Q,)
+    ones = jnp.ones_like(qc.coeff_a)
+    y_aux = jnp.stack(
+        [
+            ones,
+            -2.0 * b * ones,
+            -2.0 * a * qc.coeff_b / kappa,
+            -2.0 * a * qc.coeff_c,
+            2.0 * a * ones,
+        ],
+        axis=1,
+    )                                                           # (Q, 5)
+    return qc, w_fs, y_aux
+
+
+def _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux):
+    """(Q, chunk) folded ranking scores for one code chunk."""
+    fs = jax.lax.dot_general(
+        q_u_i8,
+        codes_c,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    const_part = y_aux @ aux_c[:5]                             # (Q, chunk)
+    g_c = aux_c[5]
+    return const_part + (w_fs[:, None] * g_c[None, :]) * fs.astype(jnp.float32)
+
+
+def _rerank(raw, norm_sq, qpad, qnorm, cand_ids, n, k):
+    """Exact-L2 rerank of gathered candidates; pad candidates -> FLOAT_MAX."""
+    cand_vecs = raw[cand_ids]                                  # (Q, C, P)
+    cand_norms = norm_sq[cand_ids]
+    exact = estimate.exact_l2_sq(qpad, qnorm, cand_vecs, cand_norms)
+    exact = jnp.where(cand_ids < n, exact, FLOAT_MAX)
+    neg_d, idx = jax.lax.top_k(-exact, k)
+    ids = jnp.take_along_axis(cand_ids, idx, axis=1)
+    ids = jnp.where(neg_d > -FLOAT_MAX, ids, -1)
+    return ids, -neg_d
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "top_c", "n_chunks", "exact_select")
+)
+def scan_search(
+    arrays: ScanArrays,
+    queries: jax.Array,
+    signs: jax.Array,
+    affine_a,
+    affine_b,
+    n,
+    kappa: float,
+    k: int,
+    top_c: int,
+    n_chunks: int,
+    exact_select: bool = False,
+):
+    """Estimate-scan all N codes, select top_c, exact-rerank to top k.
+
+    queries: (Q, dim<=P) raw; returns (ids (Q,k) int32 global, d (Q,k)).
+    All heavy arrays are jit ARGUMENTS (never closure captures: the
+    remote backend serializes captures into every compile request).
+    """
+    n_pad, p = arrays.codes_i8.shape
+    chunk = n_pad // n_chunks
+    qpad = hadamard.pad_to(queries.astype(jnp.float32), p)
+    qnorm = jnp.sum(qpad * qpad, axis=-1)
+    qc, w_fs, y_aux = _query_side(qpad, signs, affine_a, affine_b, kappa)
+    q_u_i8 = qc.q_u.astype(jnp.int8)
+    q = qpad.shape[0]
+
+    if n_chunks == 1:
+        score = _chunk_scores(arrays.codes_i8, arrays.node_aux, q_u_i8,
+                              w_fs, y_aux)
+        if exact_select:
+            neg, cand_ids = jax.lax.top_k(-score, top_c)
+        else:
+            neg, cand_ids = jax.lax.approx_max_k(
+                -score, top_c, recall_target=APPROX_RECALL
+            )
+    else:
+        codes = arrays.codes_i8.reshape(n_chunks, chunk, p)
+        aux = arrays.node_aux.reshape(6, n_chunks, chunk).transpose(1, 0, 2)
+        bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+
+        def body(carry, xs):
+            best_neg, best_ids = carry
+            codes_c, aux_c, base = xs
+            score = _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux)
+            if exact_select:
+                neg, idx = jax.lax.top_k(-score, top_c)
+            else:
+                neg, idx = jax.lax.approx_max_k(
+                    -score, top_c, recall_target=APPROX_RECALL
+                )
+            ids = idx.astype(jnp.int32) + base
+            cat_neg = jnp.concatenate([best_neg, neg], axis=1)
+            cat_ids = jnp.concatenate([best_ids, ids], axis=1)
+            best_neg, keep = jax.lax.top_k(cat_neg, top_c)
+            best_ids = jnp.take_along_axis(cat_ids, keep, axis=1)
+            return (best_neg, best_ids), None
+
+        init = (
+            jnp.full((q, top_c), -FLOAT_MAX, jnp.float32),
+            jnp.zeros((q, top_c), jnp.int32),
+        )
+        (neg, cand_ids), _ = jax.lax.scan(body, init, (codes, aux, bases))
+
+    return _rerank(
+        arrays.raw, arrays.norm_sq, qpad, qnorm,
+        cand_ids.astype(jnp.int32), n, k,
+    )
+
+
+def calibrate_scan_affine(
+    raw: jax.Array,
+    codes_u: jax.Array,
+    nop: jax.Array,
+    ip_qo: jax.Array,
+    ip_cp: jax.Array,
+    wpc: jax.Array,
+    centroid: jax.Array,
+    signs: jax.Array,
+    n: int,
+    bits: int,
+    num_samples: int = 2000,
+    seed: int = 99999,
+):
+    """Affine estimator correction for the scan path.
+
+    A light calibrate_estimator (reference api/hnsw_index.hpp:718-1017):
+    sample database vectors as queries, compare the raw estimator ratio
+    against the true <q - c, (x - c)/||x - c||>, Huber-fit the affine map
+    (a, b), and derive ip_qo_floor from the MAD lower fence.  Returns
+    (affine_a, affine_b, ip_qo_floor) floats.
+    """
+    from cphnsw_tpu.calibration import huber
+
+    rng = np.random.default_rng(seed)
+    n_s = min(num_samples, n)
+    q_ids = rng.choice(n, size=n_s, replace=False)
+    x_ids = rng.integers(0, n, size=n_s)
+
+    qvecs = raw[jnp.asarray(q_ids)]
+    qc = quantize.encode_queries(qvecs, signs)
+    codes = codes_u[jnp.asarray(x_ids)].astype(jnp.int32)
+    fs = jnp.einsum("sp,sp->s", qc.q_u, codes)
+    kappa = float((1 << bits) - 1)
+    ip_approx = estimate.ip_from_fastscan(
+        fs, wpc[jnp.asarray(x_ids)], qc.coeff_a, qc.coeff_b, qc.coeff_c,
+        kappa,
+    )
+    ip_qo_s = np.asarray(ip_qo)[x_ids]
+    ip_cp_s = np.asarray(ip_cp)[x_ids]
+    nop_s = np.asarray(nop)[x_ids]
+
+    centroid_h = np.asarray(centroid)
+    xvecs = np.asarray(raw[jnp.asarray(x_ids)])
+    qv = np.asarray(qvecs)
+    true_ip = ((qv - centroid_h) * (xvecs - centroid_h)).sum(-1) / np.maximum(
+        nop_s, 1e-12
+    )
+
+    ip_qo_floor = huber.mad_lower_fence(np.abs(ip_qo_s))
+    denom = np.maximum(np.abs(ip_qo_s), max(ip_qo_floor, 1e-12))
+    raw_est = (np.asarray(ip_approx) - ip_cp_s) / denom
+    good = nop_s > 1e-6
+    a, b, _ = huber.fit_affine_huber(raw_est[good], true_ip[good])
+    return float(a), float(b), float(ip_qo_floor)
+
+
+# --------------------------------------------------------------------------
+# Build-time candidate-budget derivation (the parameterless contract):
+# measure, on calibration queries, the rank the true k-th neighbor gets
+# under the ESTIMATE ordering, and set top_c from its tail quantile.
+# Query recipe mirrors calibrate_estimator's (database rows + sigma-jittered
+# synthetics, reference api/hnsw_index.hpp:873-890).
+# --------------------------------------------------------------------------
+
+RANK_QUANTILE = 0.99
+RANK_SAFETY = 1.25
+RANK_ANCHORS = (1, 10, 100)
+
+
+class CandidateBudget(NamedTuple):
+    anchors: np.ndarray   # (A,) k values
+    ranks: np.ndarray     # (A,) derived top_c at each anchor
+
+    def top_c(self, k: int, n: int) -> int:
+        """Log-log interpolate/extrapolate the derived budget to k."""
+        la = np.log(self.anchors.astype(np.float64))
+        lr = np.log(np.maximum(self.ranks.astype(np.float64), 1.0))
+        c = float(np.exp(np.interp(np.log(max(k, 1)), la, lr)))
+        if k > self.anchors[-1]:
+            # extrapolate with the last segment's slope
+            if len(self.anchors) > 1:
+                slope = (lr[-1] - lr[-2]) / max(la[-1] - la[-2], 1e-9)
+            else:
+                slope = 1.0
+            c = float(np.exp(lr[-1] + slope * (np.log(k) - la[-1])))
+        c = int(np.ceil(c / 32.0) * 32)
+        return int(np.clip(c, min(4 * k, n), n))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_chunks"))
+def _true_topk_chunked(raw, norm_sq, qpad, qnorm, n, k, n_chunks):
+    """Exact top-k ids over the padded store, scanned in chunks."""
+    n_pad, p = raw.shape
+    chunk = n_pad // n_chunks
+    raw_c = raw.reshape(n_chunks, chunk, p)
+    norm_c = norm_sq.reshape(n_chunks, chunk)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    q = qpad.shape[0]
+
+    def body(carry, xs):
+        best_neg, best_ids = carry
+        vecs, norms, base = xs
+        d = qnorm[:, None] + norms[None, :] - 2.0 * (qpad @ vecs.T)
+        ids_local = jnp.arange(chunk, dtype=jnp.int32) + base
+        d = jnp.where(ids_local[None, :] < n, d, FLOAT_MAX)
+        neg, idx = jax.lax.top_k(-d, k)
+        ids = ids_local[idx]
+        cat_neg = jnp.concatenate([best_neg, neg], axis=1)
+        cat_ids = jnp.concatenate([best_ids, ids], axis=1)
+        best_neg, keep = jax.lax.top_k(cat_neg, k)
+        best_ids = jnp.take_along_axis(cat_ids, keep, axis=1)
+        return (best_neg, best_ids), None
+
+    init = (
+        jnp.full((q, k), -FLOAT_MAX, jnp.float32),
+        jnp.zeros((q, k), jnp.int32),
+    )
+    (neg, ids), _ = jax.lax.scan(body, init, (raw_c, norm_c, bases))
+    return ids, -neg
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "kappa"))
+def _rank_counts(
+    arrays: ScanArrays,
+    qpad,
+    true_ids,        # (Q, A_k) ids whose est threshold we measure, stacked
+    anchor_slices,   # (A, 2) [start, stop) columns of true_ids per anchor
+    signs,
+    affine_a,
+    affine_b,
+    kappa: float,
+    n_chunks: int,
+):
+    """For each query and anchor: #nodes whose est score <= the worst est
+    score among that anchor's true neighbors (= rank needed to capture
+    the full true top-k in the candidate set)."""
+    n_pad, p = arrays.codes_i8.shape
+    chunk = n_pad // n_chunks
+    qc, w_fs, y_aux = _query_side(qpad, signs, affine_a, affine_b, kappa)
+    q_u_i8 = qc.q_u.astype(jnp.int8)
+
+    # est score of each true neighbor: gather code rows + aux columns.
+    codes_t = arrays.codes_i8[true_ids]                       # (Q, T, P)
+    fs_t = jnp.einsum(
+        "qtp,qp->qt", codes_t.astype(jnp.int32), qc.q_u.astype(jnp.int32)
+    ).astype(jnp.float32)
+    aux_t = arrays.node_aux[:, true_ids]                      # (6, Q, T)
+    const_t = jnp.einsum("qa,aqt->qt", y_aux, aux_t[:5])
+    est_t = const_t + w_fs[:, None] * aux_t[5] * fs_t         # (Q, T)
+
+    # per-anchor threshold = worst (max) est among its true neighbors
+    n_anchors = anchor_slices.shape[0]
+    t_cols = jnp.arange(true_ids.shape[1])
+    thr = []
+    for a in range(n_anchors):
+        in_a = (t_cols >= anchor_slices[a, 0]) & (t_cols < anchor_slices[a, 1])
+        thr.append(jnp.max(jnp.where(in_a[None, :], est_t, -FLOAT_MAX), axis=1))
+    thresh = jnp.stack(thr, axis=1)                            # (Q, A)
+
+    codes = arrays.codes_i8.reshape(n_chunks, chunk, p)
+    aux = arrays.node_aux.reshape(6, n_chunks, chunk).transpose(1, 0, 2)
+
+    def body(counts, xs):
+        codes_c, aux_c = xs
+        score = _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux)
+        counts = counts + jnp.sum(
+            score[:, None, :] <= thresh[:, :, None], axis=2
+        )
+        return counts, None
+
+    init = jnp.zeros(thresh.shape, jnp.int32)
+    counts, _ = jax.lax.scan(body, init, (codes, aux))
+    return counts
+
+
+def derive_candidate_budget(
+    arrays: ScanArrays,
+    signs: jax.Array,
+    affine_a: float,
+    affine_b: float,
+    n: int,
+    kappa: float,
+    seed: int,
+    n_queries: int = 256,
+) -> CandidateBudget:
+    """Measure the estimate-rank tail of true neighbors; derive top_c.
+
+    top_c(k) = ceil(quantile_{0.99}(rank of worst true top-k) * 1.25),
+    the scan-mode analog of the reference's EVT-derived beam gates — no
+    user-facing knob, everything from the index's own data.
+    """
+    rng = np.random.default_rng(seed)
+    m = int(min(n_queries, n))
+    ids = rng.choice(n, size=m, replace=False)
+    db_q = np.asarray(arrays.raw[jnp.asarray(ids)])
+    sigma = db_q.std(axis=0, keepdims=True)
+    half = m // 2
+    synth = db_q[:half] + rng.standard_normal(
+        (half, db_q.shape[1])
+    ).astype(np.float32) * sigma
+    queries = np.concatenate([db_q[half:], synth], axis=0)
+    qpad = jnp.asarray(queries)
+    qnorm = jnp.sum(qpad * qpad, axis=-1)
+
+    anchors = sorted({min(a, n) for a in RANK_ANCHORS})
+    k_max = anchors[-1]
+    nc = num_chunks(arrays.raw.shape[0], len(queries))
+    true_ids, _ = _true_topk_chunked(
+        arrays.raw, arrays.norm_sq, qpad, qnorm, jnp.asarray(n), k_max, nc
+    )
+    slices = np.asarray([[0, a] for a in anchors], np.int32)
+    counts = np.asarray(
+        _rank_counts(
+            arrays, qpad, true_ids, jnp.asarray(slices), signs,
+            jnp.asarray(affine_a, jnp.float32),
+            jnp.asarray(affine_b, jnp.float32),
+            float(kappa), nc,
+        )
+    )
+    ranks = np.ceil(
+        np.quantile(counts, RANK_QUANTILE, axis=0) * RANK_SAFETY
+    ).astype(np.int64)
+    ranks = np.maximum.accumulate(np.maximum(ranks, np.asarray(anchors)))
+    return CandidateBudget(
+        anchors=np.asarray(anchors, np.int64), ranks=ranks
+    )

@@ -1,0 +1,199 @@
+"""Tests for the production full-DB scan engine + ScanIndex facade."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cphnsw_tpu.api.scan_index import ScanIndex
+from cphnsw_tpu.ops import estimate, hadamard, quantize
+from cphnsw_tpu.search import scan
+
+
+def make_clustered(rng, n=4000, dim=48, n_clusters=32):
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 3.0
+    assign = rng.integers(0, n_clusters, size=n)
+    return centers[assign] + rng.standard_normal((n, dim)).astype(np.float32)
+
+
+def brute_gt(base, queries, k):
+    d = ((queries[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d, axis=1)[:, :k]
+
+
+def _build(rng, n=4000, dim=48, bits=1):
+    base = make_clustered(rng, n=n, dim=dim)
+    idx = ScanIndex(dim, bits=bits).build(base).finalize()
+    return base, idx
+
+
+def test_folded_score_matches_reference_algebra(rng):
+    """The folded rank-5 score equals the unfolded calibrated estimate
+    up to the dropped per-query constant d_qc^2 (and without the >=0
+    clamp, which only reorders nodes the estimate puts past the query)."""
+    base = make_clustered(rng, n=1024, dim=32)
+    bits = 2
+    dim = base.shape[1]
+    p = hadamard.next_pow2(dim)
+    signs = hadamard.rotation_signs(42, p)
+    raw = hadamard.pad_to(jnp.asarray(base), p)
+    centroid = quantize.compute_centroid(raw)
+    enc = quantize.encode_vectors(raw, centroid, signs, bits)
+    kappa = float((1 << bits) - 1)
+    cbar = (2.0 * enc.u.astype(jnp.float32) - kappa) / kappa
+    ip_cp = cbar @ hadamard.rotate(centroid, signs) / jnp.sqrt(float(p))
+    wpc = enc.u.sum(axis=-1).astype(jnp.int32)
+    codes_i8 = enc.u.astype(jnp.int8)
+
+    a, b, floor = 1.07, -0.03, float(np.quantile(np.asarray(enc.ip_qo), 0.02))
+    n = raw.shape[0]
+    node_aux = scan.fold_node_constants(
+        enc.nop, enc.ip_qo, ip_cp, wpc, jnp.asarray(floor, jnp.float32),
+        jnp.asarray(n),
+    )
+
+    queries = jnp.asarray(
+        make_clustered(rng, n=16, dim=dim) + 0.05
+    )
+    qpad = hadamard.pad_to(queries, p)
+    qc, w_fs, y_aux = scan._query_side(qpad, signs, a, b, kappa)
+    folded = scan._chunk_scores(
+        codes_i8, node_aux, qc.q_u.astype(jnp.int8), w_fs, y_aux
+    )
+
+    # unfolded path (ops/estimate.py, the same algebra the beam search uses)
+    fs = jax.lax.dot_general(
+        qc.q_u, codes_i8.astype(jnp.int32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    ip_approx = estimate.ip_from_fastscan(
+        fs, wpc[None, :], qc.coeff_a[:, None], qc.coeff_b[:, None],
+        qc.coeff_c[:, None], kappa,
+    )
+    calib = estimate.CalibParams(affine_a=a, affine_b=b, ip_qo_floor=floor)
+    ip_est, _ = estimate.estimate_ip(
+        ip_approx, enc.ip_qo[None, :], ip_cp[None, :], calib
+    )
+    dqc = jnp.sum((qpad - centroid) ** 2, axis=-1)
+    unfolded = (
+        enc.nop[None, :] ** 2 + dqc[:, None]
+        - 2.0 * enc.nop[None, :] * ip_est
+    )
+    np.testing.assert_allclose(
+        np.asarray(folded + dqc[:, None]), np.asarray(unfolded),
+        rtol=1e-3, atol=1e-2,
+    )
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_scan_index_recall(rng, bits):
+    base, idx = _build(rng, bits=bits)
+    queries = base[rng.choice(len(base), 50, replace=False)] + (
+        0.1 * rng.standard_normal((50, base.shape[1])).astype(np.float32)
+    )
+    gt = brute_gt(base, queries, 10)
+    ids, dists = idx.search_batch(queries, k=10)
+    recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
+    assert recall >= 0.9, f"bits={bits}: recall@10={recall}"
+
+    # reranked distances must be exact and sorted
+    d_true = ((queries[:, None, :] - base[ids]) ** 2).sum(-1)
+    np.testing.assert_allclose(dists, d_true, rtol=1e-3, atol=1e-3)
+    assert np.all(np.diff(dists, axis=1) >= -1e-5)
+
+
+def test_chunked_equals_unchunked(rng):
+    base, idx = _build(rng, n=3000, dim=32, bits=2)
+    queries = make_clustered(rng, n=64, dim=32)
+    n_pad = idx._arrays.codes_i8.shape[0]
+
+    kw = dict(
+        signs=idx._signs,
+        affine_a=jnp.asarray(idx._affine_a, jnp.float32),
+        affine_b=jnp.asarray(idx._affine_b, jnp.float32),
+        n=jnp.asarray(idx._n),
+        kappa=3.0, k=10, top_c=128, exact_select=True,
+    )
+    ids1, d1 = scan.scan_search(
+        idx._arrays, jnp.asarray(queries), n_chunks=1, **kw
+    )
+    # any divisor of n_pad works as a chunk count
+    nc = 4 if n_pad % 4 == 0 else 2
+    ids2, d2 = scan.scan_search(
+        idx._arrays, jnp.asarray(queries), n_chunks=nc, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+def test_candidate_budget_interpolation():
+    b = scan.CandidateBudget(
+        anchors=np.asarray([1, 10, 100], np.int64),
+        ranks=np.asarray([8, 40, 300], np.int64),
+    )
+    n = 100_000
+    assert b.top_c(1, n) >= 8
+    assert b.top_c(10, n) >= 40
+    assert b.top_c(100, n) >= 300
+    assert b.top_c(10, n) <= b.top_c(50, n) <= b.top_c(100, n)
+    # extrapolation beyond the last anchor keeps growing
+    assert b.top_c(500, n) > b.top_c(100, n)
+    # never below min(4k, n) and never above n
+    assert b.top_c(1000, 2000) <= 2000
+
+
+def test_save_load_round_trip(rng, tmp_path):
+    base, idx = _build(rng, n=2000, dim=24, bits=2)
+    queries = make_clustered(rng, n=32, dim=24)
+    ids0, d0 = idx.search_batch(queries, k=10)
+
+    f = tmp_path / "scan.npz"
+    idx.save(f)
+    idx2 = ScanIndex(24, bits=2).load(f)
+    assert idx2.size == idx.size and idx2.is_finalized
+    ids1, d1 = idx2.search_batch(queries, k=10)
+    np.testing.assert_array_equal(ids0, ids1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        ScanIndex(24, bits=1).load(f)
+    with pytest.raises(ValueError):
+        ScanIndex(23, bits=2).load(f)
+    with pytest.raises(ValueError):
+        ScanIndex(24, bits=2, metric="ip").load(f)
+
+
+def test_ip_metric_round_trip(rng, tmp_path):
+    base = make_clustered(rng, n=2000, dim=24)
+    queries = make_clustered(rng, n=32, dim=24)
+    idx = ScanIndex(24, bits=4, metric="ip").build(base).finalize()
+    ids, scores = idx.search_batch(queries, k=10)
+
+    true_ip = queries @ base.T
+    gt = np.argsort(-true_ip, axis=1)[:, :10]
+    recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
+    assert recall >= 0.85, f"ip recall@10={recall}"
+    # scores are the actual inner products, descending
+    got = np.take_along_axis(true_ip, ids, axis=1)
+    np.testing.assert_allclose(scores, got, rtol=1e-3, atol=1e-2)
+    assert np.all(np.diff(scores, axis=1) <= 1e-4)
+
+    f = tmp_path / "scan_ip.npz"
+    idx.save(f)
+    idx2 = ScanIndex(24, bits=4, metric="ip").load(f)
+    ids1, s1 = idx2.search_batch(queries, k=10)
+    np.testing.assert_array_equal(ids, ids1)
+    np.testing.assert_allclose(scores, s1, rtol=1e-5)
+
+
+def test_k_exceeds_n(rng):
+    base = make_clustered(rng, n=300, dim=16)
+    idx = ScanIndex(16, bits=1).build(base).finalize()
+    ids, dists = idx.search_batch(base[:8], k=512)
+    assert ids.shape == (8, 512)
+    assert (ids[:, 300:] == -1).all()
+    assert np.isfinite(dists[:, :300]).all()
+    # self-match must surface at rank 0 with distance ~0
+    assert (ids[:, 0] == np.arange(8)).all()
