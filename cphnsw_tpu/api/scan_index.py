@@ -31,6 +31,11 @@ from cphnsw_tpu.search import scan
 MAGIC = "CPHNSW-TPU-SCAN"
 VERSION = 1
 ENCODE_CHUNK = 1 << 17  # rows per encode dispatch (bounds HBM intermediates)
+# Queries are uploaded and searched in fixed sub-batches so the host->device
+# transfer of sub-batch i+1 overlaps the scan of sub-batch i (dispatch is
+# async; the remote tunnel moves ~36 MB/s, so an 8192x128 f32 batch alone
+# costs ~110 ms serialized — pipelining hides it behind compute).
+SEARCH_SUB_BATCH = 2048
 
 
 class ScanIndex:
@@ -72,6 +77,10 @@ class ScanIndex:
         self._affine_b = 0.0
         self._ip_qo_floor = 0.0
         self._budget: scan.CandidateBudget | None = None
+        # device-resident copies of the per-call scalars: uploading a
+        # scalar through the tunnel costs ~25 ms, so search_batch must
+        # never do it per call.
+        self._dev_scalars = None
 
     # ------------------------------------------------------------- build
     def build(self, vectors: np.ndarray):
@@ -167,10 +176,18 @@ class ScanIndex:
         self._centroid = centroid
         self._affine_a, self._affine_b, self._ip_qo_floor = a, b, floor
         self._budget = budget
+        self._stage_scalars()
         self._vectors_host = None
         self._needs_build = False
         self._finalized = True
         return self
+
+    def _stage_scalars(self):
+        self._dev_scalars = (
+            jnp.asarray(self._affine_a, jnp.float32),
+            jnp.asarray(self._affine_b, jnp.float32),
+            jnp.asarray(self._n),
+        )
 
     # ------------------------------------------------------------ search
     def search_batch(self, queries: np.ndarray, k: int = 10):
@@ -192,28 +209,42 @@ class ScanIndex:
             )
 
         nq = len(queries)
-        bucket = 1 << max(6, (nq - 1).bit_length())
-        q_in = queries
-        if bucket != nq:
-            q_in = np.concatenate(
-                [queries, np.repeat(queries[-1:], bucket - nq, axis=0)]
+        sub = min(SEARCH_SUB_BATCH, 1 << max(6, (nq - 1).bit_length()))
+        pad_rows = (-nq) % sub
+        if pad_rows:
+            queries_in = np.concatenate(
+                [queries, np.repeat(queries[-1:], pad_rows, axis=0)]
             )
+        else:
+            queries_in = queries
 
         n_pad = self._arrays.codes_i8.shape[0]
-        nc = scan.num_chunks(n_pad, bucket)
+        chunk, n_eq, rem = scan.chunk_plan(n_pad, sub)
         top_c = self._budget.top_c(k_eff, self._n)
-        top_c = min(top_c, n_pad // nc)  # approx_max_k bound per chunk
+        top_c = min(top_c, chunk)  # approx_max_k bound per chunk
         top_c = max(top_c, k_eff)
-        ids, dists = scan.scan_search(
-            self._arrays, jnp.asarray(q_in), self._signs,
-            jnp.asarray(self._affine_a, jnp.float32),
-            jnp.asarray(self._affine_b, jnp.float32),
-            jnp.asarray(self._n),
-            kappa=float((1 << self._bits) - 1),
-            k=k_eff, top_c=top_c, n_chunks=nc,
+        aff_a, aff_b, n_dev = self._dev_scalars
+        # dispatch every sub-batch without syncing: upload(i+1) overlaps
+        # scan(i) on the device
+        outs = []
+        for s in range(0, len(queries_in), sub):
+            q_dev = jax.device_put(queries_in[s:s + sub])
+            outs.append(scan.scan_search(
+                self._arrays, q_dev, self._signs, aff_a, aff_b, n_dev,
+                kappa=float((1 << self._bits) - 1),
+                k=k_eff, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
+            ))
+        # pack (ids, dists) of all sub-batches into ONE device array and
+        # fetch with ONE transfer: every host<->device round trip costs
+        # ~30 ms on the tunnel.
+        packed_dev = jnp.concatenate(
+            [jnp.stack([i, jax.lax.bitcast_convert_type(d, jnp.int32)], 0)
+             for i, d in outs],
+            axis=1,
         )
-        ids = np.asarray(ids)[:nq].astype(np.int64)
-        dists = np.asarray(dists)[:nq]
+        packed = np.asarray(packed_dev)
+        ids = packed[0, :nq].astype(np.int64)
+        dists = packed[1, :nq].view(np.float32)
         if self._metric == "ip":
             qn = (queries[:nq, : self._dim] ** 2).sum(1, keepdims=True)
             dists = np.where(
@@ -341,6 +372,7 @@ class ScanIndex:
             norm_sq=jnp.sum(raw * raw, axis=-1),
         )
         self._centroid = jnp.asarray(centroid_h)
+        self._stage_scalars()
         self._finalized = True
         self._needs_build = False
         return self

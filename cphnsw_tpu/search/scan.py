@@ -46,15 +46,26 @@ FLOAT_MAX = jnp.finfo(jnp.float32).max
 # Pad-row sentinel added to scores via the node-constant channel: large
 # enough to rank last, small enough that (-score) stays finite.
 PAD_SCORE = 1e30
-# approx_max_k per-chunk recall target; the derived candidate budget's
-# safety margin (RANK_SAFETY in derive_candidate_budget) absorbs the
-# boundary misses.
-APPROX_RECALL = 0.98
+# approx_max_k per-chunk recall target.  Its cost explodes toward a full
+# (Q, N) sort as the target approaches 1 (measured on v5e, Q=8192,
+# N=100k, top_c=400: rt 0.9 -> 86 ms, 0.95 -> 138 ms, 0.98 -> 260 ms,
+# 0.99 -> 566 ms, exact sort 900 ms), while its misses concentrate in the
+# candidate-list TAIL: an element at estimate-rank r is dropped only when
+# its reduction bin holds a better element (p ~ r / bins), so the true
+# top-k — which sit at the head — survive far above the nominal target
+# (same setup: end recall@10 0.9876 at rt=0.9 vs 0.9987 at rt=0.99, a 6.6x
+# QPS difference).  0.9 is the measured knee; the derived candidate
+# budget's safety margin (RANK_SAFETY) absorbs the residual head misses.
+APPROX_RECALL = 0.9
 # Score-buffer budget per chunk in f32 elements (Q * chunk <= this):
-# 2^27 elements = 512 MB, comfortably inside a v5e's 16 GB HBM next to
-# codes + raw vectors.
-CHUNK_ELEMENTS = 1 << 27
+# 2^30 elements = 4 GB, comfortably inside a v5e's 16 GB HBM next to
+# codes + raw vectors (100k x 8192 queries stays single-chunk).
+CHUNK_ELEMENTS = 1 << 30
 MIN_CHUNK = 1 << 15
+# Chunks are unrolled as static slices inside the jit (one final merge,
+# no sequential carry chain); beyond this count the equal-size chunks
+# roll into a lax.scan that stacks per-chunk candidates instead.
+MAX_UNROLL = 32
 
 
 class ScanArrays(NamedTuple):
@@ -68,26 +79,34 @@ class ScanArrays(NamedTuple):
 
 
 def store_pad(n: int) -> int:
-    """Rows the store is padded to: a multiple of MIN_CHUNK above it
-    (so any divisor of n_pad/MIN_CHUNK is a valid chunk count at any
-    query-batch size), a multiple of 256 below."""
-    if n <= MIN_CHUNK:
-        return -(-n // 256) * 256
-    return -(-n // MIN_CHUNK) * MIN_CHUNK
+    """Rows the store is padded to: next multiple of 256.  Keeping the
+    dead region tiny matters — approx_max_k's binned reduction assumes
+    winners are spread over the whole row, so a large block of PAD_SCORE
+    rows silently degrades its effective recall (measured: 24% pad
+    -> recall@top_c 0.90 vs 0.997)."""
+    return -(-n // 256) * 256
 
 
-def num_chunks(n_pad: int, q: int) -> int:
-    """Smallest valid chunk count keeping Q*chunk under the score budget."""
+def chunk_plan(n_pad: int, q: int) -> tuple[int, int, int]:
+    """Static chunk plan (chunk_rows, n_equal, remainder_rows).
+
+    chunk_rows keeps the (Q, chunk) score buffer under CHUNK_ELEMENTS;
+    the store splits into n_equal chunks of chunk_rows plus one
+    remainder chunk (all multiples of 256, all static)."""
     if n_pad <= MIN_CHUNK:
-        return 1
-    granules = n_pad // MIN_CHUNK
-    need = max(1, -(-q * n_pad // CHUNK_ELEMENTS))
-    if need >= granules:
-        return granules
-    for d in range(need, granules + 1):
-        if granules % d == 0:
-            return d
-    return granules
+        return n_pad, 1, 0
+    chunk = max(MIN_CHUNK, (CHUNK_ELEMENTS // max(q, 1)) // 256 * 256)
+    chunk = min(chunk, n_pad)
+    n_eq = n_pad // chunk
+    rem = n_pad - n_eq * chunk
+    return chunk, n_eq, rem
+
+
+def _chunk_slices(n_pad: int, max_rows: int) -> list[tuple[int, int]]:
+    """Static (start, size) chunk slices covering n_pad rows."""
+    chunk = min(n_pad, max(256, max_rows // 256 * 256))
+    out = [(s, min(chunk, n_pad - s)) for s in range(0, n_pad, chunk)]
+    return out
 
 
 @jax.jit
@@ -162,8 +181,17 @@ def _rerank(raw, norm_sq, qpad, qnorm, cand_ids, n, k):
     return ids, -neg_d
 
 
+def _select(score, top_c: int, exact: bool):
+    """Per-chunk candidate selection on the negated (maximize) score; the
+    negation fuses into the score epilogue."""
+    if exact or top_c >= score.shape[1]:
+        return jax.lax.top_k(-score, min(top_c, score.shape[1]))
+    return jax.lax.approx_max_k(-score, top_c, recall_target=APPROX_RECALL)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "top_c", "n_chunks", "exact_select")
+    jax.jit,
+    static_argnames=("k", "top_c", "chunk", "n_eq", "rem", "exact_select"),
 )
 def scan_search(
     arrays: ScanArrays,
@@ -175,59 +203,77 @@ def scan_search(
     kappa: float,
     k: int,
     top_c: int,
-    n_chunks: int,
+    chunk: int,
+    n_eq: int = 1,
+    rem: int = 0,
     exact_select: bool = False,
 ):
     """Estimate-scan all N codes, select top_c, exact-rerank to top k.
 
     queries: (Q, dim<=P) raw; returns (ids (Q,k) int32 global, d (Q,k)).
-    All heavy arrays are jit ARGUMENTS (never closure captures: the
-    remote backend serializes captures into every compile request).
+    (chunk, n_eq, rem) is the static chunk plan from chunk_plan().
+    Chunks are independent (per-chunk approx_max_k, one merge at the
+    end) — no sequential carry chain across chunks.  All heavy arrays
+    are jit ARGUMENTS (never closure captures: the remote backend
+    serializes captures into every compile request).
     """
     n_pad, p = arrays.codes_i8.shape
-    chunk = n_pad // n_chunks
+    assert n_eq * chunk + rem == n_pad
     qpad = hadamard.pad_to(queries.astype(jnp.float32), p)
     qnorm = jnp.sum(qpad * qpad, axis=-1)
     qc, w_fs, y_aux = _query_side(qpad, signs, affine_a, affine_b, kappa)
     q_u_i8 = qc.q_u.astype(jnp.int8)
-    q = qpad.shape[0]
 
-    if n_chunks == 1:
+    if n_eq == 1 and rem == 0:
         score = _chunk_scores(arrays.codes_i8, arrays.node_aux, q_u_i8,
                               w_fs, y_aux)
-        if exact_select:
-            neg, cand_ids = jax.lax.top_k(-score, top_c)
-        else:
-            neg, cand_ids = jax.lax.approx_max_k(
-                -score, top_c, recall_target=APPROX_RECALL
-            )
+        _, cand_ids = _select(score, top_c, exact_select)
     else:
-        codes = arrays.codes_i8.reshape(n_chunks, chunk, p)
-        aux = arrays.node_aux.reshape(6, n_chunks, chunk).transpose(1, 0, 2)
-        bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+        parts_neg, parts_ids = [], []
 
-        def body(carry, xs):
-            best_neg, best_ids = carry
-            codes_c, aux_c, base = xs
+        def one_chunk(start, size):
+            codes_c = jax.lax.slice_in_dim(arrays.codes_i8, start,
+                                           start + size, axis=0)
+            aux_c = jax.lax.slice_in_dim(arrays.node_aux, start,
+                                         start + size, axis=1)
             score = _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux)
-            if exact_select:
-                neg, idx = jax.lax.top_k(-score, top_c)
-            else:
-                neg, idx = jax.lax.approx_max_k(
-                    -score, top_c, recall_target=APPROX_RECALL
-                )
-            ids = idx.astype(jnp.int32) + base
-            cat_neg = jnp.concatenate([best_neg, neg], axis=1)
-            cat_ids = jnp.concatenate([best_ids, ids], axis=1)
-            best_neg, keep = jax.lax.top_k(cat_neg, top_c)
-            best_ids = jnp.take_along_axis(cat_ids, keep, axis=1)
-            return (best_neg, best_ids), None
+            neg, idx = _select(score, top_c, exact_select)
+            return neg, idx.astype(jnp.int32) + start
 
-        init = (
-            jnp.full((q, top_c), -FLOAT_MAX, jnp.float32),
-            jnp.zeros((q, top_c), jnp.int32),
-        )
-        (neg, cand_ids), _ = jax.lax.scan(body, init, (codes, aux, bases))
+        if n_eq <= MAX_UNROLL:
+            for c in range(n_eq):
+                neg, ids = one_chunk(c * chunk, chunk)
+                parts_neg.append(neg)
+                parts_ids.append(ids)
+        else:
+            codes = arrays.codes_i8[: n_eq * chunk].reshape(n_eq, chunk, p)
+            aux = (arrays.node_aux[:, : n_eq * chunk]
+                   .reshape(6, n_eq, chunk).transpose(1, 0, 2))
+            bases = jnp.arange(n_eq, dtype=jnp.int32) * chunk
+
+            def body(_, xs):
+                codes_c, aux_c, base = xs
+                score = _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux)
+                neg, idx = _select(score, top_c, exact_select)
+                return None, (neg, idx.astype(jnp.int32) + base)
+
+            _, (neg_s, ids_s) = jax.lax.scan(body, None, (codes, aux, bases))
+            q = qpad.shape[0]
+            parts_neg.append(neg_s.transpose(1, 0, 2).reshape(q, -1))
+            parts_ids.append(ids_s.transpose(1, 0, 2).reshape(q, -1))
+
+        if rem:
+            neg, ids = one_chunk(n_eq * chunk, rem)
+            parts_neg.append(neg)
+            parts_ids.append(ids)
+
+        cat_neg = jnp.concatenate(parts_neg, axis=1)
+        cat_ids = jnp.concatenate(parts_ids, axis=1)
+        if cat_neg.shape[1] > top_c:
+            _, keep = jax.lax.top_k(cat_neg, top_c)
+            cand_ids = jnp.take_along_axis(cat_ids, keep, axis=1)
+        else:
+            cand_ids = cat_ids
 
     return _rerank(
         arrays.raw, arrays.norm_sq, qpad, qnorm,
@@ -294,14 +340,17 @@ def calibrate_scan_affine(
 
 # --------------------------------------------------------------------------
 # Build-time candidate-budget derivation (the parameterless contract):
-# measure, on calibration queries, the rank the true k-th neighbor gets
-# under the ESTIMATE ordering, and set top_c from its tail quantile.
-# Query recipe mirrors calibrate_estimator's (database rows + sigma-jittered
-# synthetics, reference api/hnsw_index.hpp:873-890).
+# measure, on calibration queries, the rank EACH true top-k neighbor gets
+# under the ESTIMATE ordering, and set top_c as the tail quantile of that
+# per-neighbor rank distribution — capture fraction ~= expected recall,
+# so quantile 0.99 targets recall ~0.99 (the full-capture max-rank
+# variant overshoots ~3x for the same recall).  Query recipe mirrors
+# calibrate_estimator's (database rows + sigma-jittered synthetics,
+# reference api/hnsw_index.hpp:873-890).
 # --------------------------------------------------------------------------
 
 RANK_QUANTILE = 0.99
-RANK_SAFETY = 1.25
+RANK_SAFETY = 1.1
 RANK_ANCHORS = (1, 10, 100)
 
 
@@ -325,55 +374,43 @@ class CandidateBudget(NamedTuple):
         return int(np.clip(c, min(4 * k, n), n))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_chunks"))
-def _true_topk_chunked(raw, norm_sq, qpad, qnorm, n, k, n_chunks):
-    """Exact top-k ids over the padded store, scanned in chunks."""
+@functools.partial(jax.jit, static_argnames=("k",))
+def _true_topk_chunked(raw, norm_sq, qpad, qnorm, n, k):
+    """Exact top-k (ids, dists) over the padded store, in static chunks."""
     n_pad, p = raw.shape
-    chunk = n_pad // n_chunks
-    raw_c = raw.reshape(n_chunks, chunk, p)
-    norm_c = norm_sq.reshape(n_chunks, chunk)
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     q = qpad.shape[0]
-
-    def body(carry, xs):
-        best_neg, best_ids = carry
-        vecs, norms, base = xs
+    max_rows = max(MIN_CHUNK, CHUNK_ELEMENTS // max(q, 1))
+    parts_neg, parts_ids = [], []
+    for start, size in _chunk_slices(n_pad, max_rows):
+        vecs = jax.lax.slice_in_dim(raw, start, start + size, axis=0)
+        norms = jax.lax.slice_in_dim(norm_sq, start, start + size, axis=0)
         d = qnorm[:, None] + norms[None, :] - 2.0 * (qpad @ vecs.T)
-        ids_local = jnp.arange(chunk, dtype=jnp.int32) + base
+        ids_local = jnp.arange(size, dtype=jnp.int32) + start
         d = jnp.where(ids_local[None, :] < n, d, FLOAT_MAX)
-        neg, idx = jax.lax.top_k(-d, k)
-        ids = ids_local[idx]
-        cat_neg = jnp.concatenate([best_neg, neg], axis=1)
-        cat_ids = jnp.concatenate([best_ids, ids], axis=1)
-        best_neg, keep = jax.lax.top_k(cat_neg, k)
-        best_ids = jnp.take_along_axis(cat_ids, keep, axis=1)
-        return (best_neg, best_ids), None
-
-    init = (
-        jnp.full((q, k), -FLOAT_MAX, jnp.float32),
-        jnp.zeros((q, k), jnp.int32),
-    )
-    (neg, ids), _ = jax.lax.scan(body, init, (raw_c, norm_c, bases))
-    return ids, -neg
+        neg, idx = jax.lax.top_k(-d, min(k, size))
+        parts_neg.append(neg)
+        parts_ids.append(ids_local[idx])
+    cat_neg = jnp.concatenate(parts_neg, axis=1)
+    cat_ids = jnp.concatenate(parts_ids, axis=1)
+    if cat_neg.shape[1] > k:
+        neg, keep = jax.lax.top_k(cat_neg, k)
+        return jnp.take_along_axis(cat_ids, keep, axis=1), -neg
+    return cat_ids, -cat_neg
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks", "kappa"))
+@functools.partial(jax.jit, static_argnames=("kappa",))
 def _rank_counts(
     arrays: ScanArrays,
     qpad,
-    true_ids,        # (Q, A_k) ids whose est threshold we measure, stacked
-    anchor_slices,   # (A, 2) [start, stop) columns of true_ids per anchor
+    true_ids,        # (Q, T) true top-k ids whose est ranks we measure
     signs,
     affine_a,
     affine_b,
     kappa: float,
-    n_chunks: int,
 ):
-    """For each query and anchor: #nodes whose est score <= the worst est
-    score among that anchor's true neighbors (= rank needed to capture
-    the full true top-k in the candidate set)."""
+    """Per (query, true neighbor): #nodes whose est score <= that
+    neighbor's est score = the candidate-list size needed to capture it."""
     n_pad, p = arrays.codes_i8.shape
-    chunk = n_pad // n_chunks
     qc, w_fs, y_aux = _query_side(qpad, signs, affine_a, affine_b, kappa)
     q_u_i8 = qc.q_u.astype(jnp.int8)
 
@@ -386,28 +423,19 @@ def _rank_counts(
     const_t = jnp.einsum("qa,aqt->qt", y_aux, aux_t[:5])
     est_t = const_t + w_fs[:, None] * aux_t[5] * fs_t         # (Q, T)
 
-    # per-anchor threshold = worst (max) est among its true neighbors
-    n_anchors = anchor_slices.shape[0]
-    t_cols = jnp.arange(true_ids.shape[1])
-    thr = []
-    for a in range(n_anchors):
-        in_a = (t_cols >= anchor_slices[a, 0]) & (t_cols < anchor_slices[a, 1])
-        thr.append(jnp.max(jnp.where(in_a[None, :], est_t, -FLOAT_MAX), axis=1))
-    thresh = jnp.stack(thr, axis=1)                            # (Q, A)
-
-    codes = arrays.codes_i8.reshape(n_chunks, chunk, p)
-    aux = arrays.node_aux.reshape(6, n_chunks, chunk).transpose(1, 0, 2)
-
-    def body(counts, xs):
-        codes_c, aux_c = xs
+    # bound the (Q, T, chunk) bool comparison buffer to ~1 GB
+    q, t = est_t.shape
+    max_rows = max(256, (1 << 30) // max(q * t, 1))
+    counts = jnp.zeros(est_t.shape, jnp.int32)
+    for start, size in _chunk_slices(n_pad, max_rows):
+        codes_c = jax.lax.slice_in_dim(arrays.codes_i8, start,
+                                       start + size, axis=0)
+        aux_c = jax.lax.slice_in_dim(arrays.node_aux, start,
+                                     start + size, axis=1)
         score = _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux)
         counts = counts + jnp.sum(
-            score[:, None, :] <= thresh[:, :, None], axis=2
+            score[:, None, :] <= est_t[:, :, None], axis=2, dtype=jnp.int32
         )
-        return counts, None
-
-    init = jnp.zeros(thresh.shape, jnp.int32)
-    counts, _ = jax.lax.scan(body, init, (codes, aux))
     return counts
 
 
@@ -423,41 +451,56 @@ def derive_candidate_budget(
 ) -> CandidateBudget:
     """Measure the estimate-rank tail of true neighbors; derive top_c.
 
-    top_c(k) = ceil(quantile_{0.99}(rank of worst true top-k) * 1.25),
-    the scan-mode analog of the reference's EVT-derived beam gates — no
+    top_c(k) = ceil(quantile_{0.99}(per-neighbor est rank over true
+    top-k) * 1.1) — the capture fraction of the candidate set IS the
+    expected recall, so this targets recall ~= RANK_QUANTILE.  The
+    scan-mode analog of the reference's EVT-derived beam gates: no
     user-facing knob, everything from the index's own data.
+
+    Query model: database rows jittered at each row's own true
+    nearest-neighbor distance — the data's intrinsic query-displacement
+    scale.  (Full-dimension sigma jitter, the reference's calibration
+    recipe, lands between clusters and overshoots the budget ~2x.)
     """
     rng = np.random.default_rng(seed)
     m = int(min(n_queries, n))
     ids = rng.choice(n, size=m, replace=False)
-    db_q = np.asarray(arrays.raw[jnp.asarray(ids)])
-    sigma = db_q.std(axis=0, keepdims=True)
-    half = m // 2
-    synth = db_q[:half] + rng.standard_normal(
-        (half, db_q.shape[1])
-    ).astype(np.float32) * sigma
-    queries = np.concatenate([db_q[half:], synth], axis=0)
+    db_rows = np.asarray(arrays.raw[jnp.asarray(ids)])
+    rows_j = jnp.asarray(db_rows)
+    rows_norm = jnp.sum(rows_j * rows_j, axis=-1)
+    _, d2 = _true_topk_chunked(
+        arrays.raw, arrays.norm_sq, rows_j, rows_norm,
+        jnp.asarray(n), min(2, n),
+    )
+    nn_dist = np.sqrt(np.maximum(np.asarray(d2)[:, -1], 0.0))  # excl. self
+    p = db_rows.shape[1]
+    noise = rng.standard_normal((m, p)).astype(np.float32) / np.sqrt(p)
+    queries = db_rows + noise * nn_dist[:, None]
     qpad = jnp.asarray(queries)
     qnorm = jnp.sum(qpad * qpad, axis=-1)
 
     anchors = sorted({min(a, n) for a in RANK_ANCHORS})
     k_max = anchors[-1]
-    nc = num_chunks(arrays.raw.shape[0], len(queries))
     true_ids, _ = _true_topk_chunked(
-        arrays.raw, arrays.norm_sq, qpad, qnorm, jnp.asarray(n), k_max, nc
+        arrays.raw, arrays.norm_sq, qpad, qnorm, jnp.asarray(n), k_max
     )
-    slices = np.asarray([[0, a] for a in anchors], np.int32)
     counts = np.asarray(
         _rank_counts(
-            arrays, qpad, true_ids, jnp.asarray(slices), signs,
+            arrays, qpad, true_ids, signs,
             jnp.asarray(affine_a, jnp.float32),
             jnp.asarray(affine_b, jnp.float32),
-            float(kappa), nc,
+            float(kappa),
         )
     )
-    ranks = np.ceil(
-        np.quantile(counts, RANK_QUANTILE, axis=0) * RANK_SAFETY
-    ).astype(np.int64)
+    ranks = np.asarray(
+        [
+            np.ceil(
+                np.quantile(counts[:, :a], RANK_QUANTILE) * RANK_SAFETY
+            )
+            for a in anchors
+        ],
+        np.int64,
+    )
     ranks = np.maximum.accumulate(np.maximum(ranks, np.asarray(anchors)))
     return CandidateBudget(
         anchors=np.asarray(anchors, np.int64), ranks=ranks

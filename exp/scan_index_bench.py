@@ -1,40 +1,73 @@
-"""End-to-end ScanIndex measurement on real TPU: build, recall, QPS."""
+"""Measure ScanIndex end-to-end on the real TPU: derived budget, QPS, recall.
+
+Uses make_synthetic (the headline/baseline data) so numbers are comparable
+with baseline_cpu.json and the round-1 records.
+
+Usage: python exp/scan_index_bench.py [n] [dim] [bits...] [--q=Q] [--topc=a,b]
+"""
 
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
-
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-DIM = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-BITS = [int(b) for b in (sys.argv[3].split(",") if len(sys.argv) > 3 else ["1", "2", "4"])]
-Q = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import numpy as np
-from cphnsw_tpu.api.scan_index import ScanIndex
-from cphnsw_tpu.utils.datasets import make_synthetic
 
-K = 10
-name = f"synthetic-{N // 1000}k-{DIM}d" if N < 1_000_000 else f"synthetic-{N // 1_000_000}m-{DIM}d"
-ds = make_synthetic(name, n_queries=Q)
-base, queries, gt = ds["base"], ds["queries"], ds["groundtruth"]
-print(f"dataset ready n={len(base)} q={len(queries)}", flush=True)
 
-for bits in BITS:
-    t0 = time.time()
-    idx = ScanIndex(DIM, bits=bits).build(base).finalize(verbose=True)
-    build_s = time.time() - t0
-    print(f"bits={bits} build={build_s:.1f}s", flush=True)
-    ids, d = idx.search_batch(queries, k=K)
-    ts = []
-    for _ in range(3):
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 100_000
+    dim = int(args[1]) if len(args) > 1 else 128
+    bits_list = [int(b) for b in args[2:]] or [1, 2, 4]
+    nq = 8192
+    fixed_topc = []
+    for a in sys.argv[1:]:
+        if a.startswith("--q="):
+            nq = int(a.split("=")[1])
+        if a.startswith("--topc="):
+            fixed_topc = [int(x) for x in a.split("=")[1].split(",")]
+
+    from cphnsw_tpu import ScanIndex
+    from cphnsw_tpu.utils.datasets import make_synthetic
+
+    ds = make_synthetic(f"synthetic-{n // 1000}k-{dim}d", n_queries=nq)
+    base, queries, gt = ds["base"], ds["queries"], ds["groundtruth"][:, :10]
+    print(f"n={n} dim={dim} nq={len(queries)}", flush=True)
+    assert gt.shape[1] == 10
+
+    def timed(idx, queries, k, label):
+        ids, _ = idx.search_batch(queries, k=k)  # compile + warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ids, _ = idx.search_batch(queries, k=k)
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
+        print(
+            f"{label}: recall@10={recall:.4f} qps={len(queries) / med:.0f} "
+            f"med_batch={med * 1e3:.0f}ms",
+            flush=True,
+        )
+
+    for bits in bits_list:
         t0 = time.perf_counter()
-        ids, d = idx.search_batch(queries, k=K)
-        ts.append(time.perf_counter() - t0)
-    qps = Q / min(ts)
-    rec = (ids[:, :, None] == gt[:, None, :K]).any(-1).mean()
-    print(
-        f"bits={bits} N={N}: recall@10={rec:.4f} QPS={qps:.0f} "
-        f"t={min(ts)*1e3:.1f}ms build={build_s:.1f}s",
-        flush=True,
-    )
+        idx = ScanIndex(dim, bits=bits).build(base).finalize(verbose=True)
+        build_s = time.perf_counter() - t0
+        print(f"bits={bits} build={build_s:.1f}s "
+              f"top_c(10)={idx._budget.top_c(10, n)}", flush=True)
+        timed(idx, queries, 10, f"bits={bits} derived")
+        saved = idx._budget
+        for tc in fixed_topc:
+            import cphnsw_tpu.search.scan as scan
+            idx._budget = scan.CandidateBudget(
+                anchors=np.asarray([1, 10, 100], np.int64),
+                ranks=np.asarray([tc, tc, tc], np.int64),
+            )
+            timed(idx, queries, 10, f"bits={bits} top_c={tc}")
+        idx._budget = saved
+
+
+if __name__ == "__main__":
+    main()

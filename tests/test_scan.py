@@ -117,15 +117,31 @@ def test_chunked_equals_unchunked(rng):
         kappa=3.0, k=10, top_c=128, exact_select=True,
     )
     ids1, d1 = scan.scan_search(
-        idx._arrays, jnp.asarray(queries), n_chunks=1, **kw
+        idx._arrays, jnp.asarray(queries), chunk=n_pad, n_eq=1, rem=0, **kw
     )
-    # any divisor of n_pad works as a chunk count
-    nc = 4 if n_pad % 4 == 0 else 2
+    # equal chunks + remainder chunk (unrolled static slices)
+    c = n_pad // 4 // 256 * 256
+    n_eq = 3
+    rem = n_pad - n_eq * c
     ids2, d2 = scan.scan_search(
-        idx._arrays, jnp.asarray(queries), n_chunks=nc, **kw
+        idx._arrays, jnp.asarray(queries), chunk=c, n_eq=n_eq, rem=rem, **kw
     )
     np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+    # rolled lax.scan path (n_eq > MAX_UNROLL) must agree too; use fresh
+    # static args so the patched unroll limit is seen at trace time
+    old = scan.MAX_UNROLL
+    scan.MAX_UNROLL = 2
+    try:
+        n_eq2 = (n_pad // 256) - 1
+        ids3, d3 = scan.scan_search(
+            idx._arrays, jnp.asarray(queries), chunk=256, n_eq=n_eq2,
+            rem=n_pad - 256 * n_eq2, **kw
+        )
+    finally:
+        scan.MAX_UNROLL = old
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids3))
 
 
 def test_candidate_budget_interpolation():
