@@ -280,15 +280,19 @@ class Index:
         return int(np.clip(np.ceil(np.log2(self._n / 4)), 13, 18))
 
     def _derive_step_budget(self, verbose: bool = False):
-        """Measure the step budget from this index's own data: run
-        calibration-style queries (database rows + jittered synthetics,
-        the recipe of calibrate_estimator's query set,
-        hnsw_index.hpp:873-890) with a generous cap and record each
-        query's LAST RESULT-IMPROVEMENT step; the budget is the 99th
-        percentile + 25% slack.  Measured at two k anchors (10, 100) so
-        query-time budgets interpolate instead of relying on workload-
-        tuned constants (the "zero search parameters" contract,
-        reference README)."""
+        """Measure the step budget from this index's own data: ONE
+        generously-capped k=100 run over calibration-style queries
+        (database rows + jittered synthetics, the recipe of
+        calibrate_estimator's query set, hnsw_index.hpp:873-890), whose
+        per-result insertion steps (BeamState.res_step) yield, for every
+        anchor k' <= 100 at once, the first step at which each query's
+        FINAL top-k' was already present.  The budget at an anchor is the
+        99th-percentile of that recall-sufficient step — not the last
+        result change, which keeps moving long after the final top-k' is
+        assembled and over-budgets the search (measured: 0.63x QPS at
+        identical recall).  Two anchors (10, 100) interpolate query-time
+        budgets with zero workload-tuned constants (the "zero search
+        parameters" contract, reference README)."""
         rng = np.random.default_rng(self._seed + 4242)
         m = int(min(256, self._n))
         ids = rng.choice(self._n, size=m, replace=False)
@@ -307,29 +311,31 @@ class Index:
             )
 
         cap = 512
+        k_max = min(100, self._n)
+        out = beam.search_batch(
+            self._raw, self._norm_sq, self._neighbors,
+            self._entry_candidates, self._signs,
+            jnp.asarray(queries), self._params,
+            bits=self._bits, k=k_max,
+            beam_cap=max(2 * self._r, 4 * k_max),
+            max_steps=cap,
+            expand_width=self._expand_width,
+            visited_hash_bits=self._visited_hash_bits(),
+            debug_state=True,
+        )
+        res_step = np.asarray(out[2].res_step)
         budgets = {}
         for k_anchor in (10, 100):
-            k_eff = min(k_anchor, self._n)
-            out = beam.search_batch(
-                self._raw, self._norm_sq, self._neighbors,
-                self._entry_candidates, self._signs,
-                jnp.asarray(queries), self._params,
-                bits=self._bits, k=k_eff,
-                beam_cap=max(2 * self._r, 4 * k_eff),
-                max_steps=cap,
-                expand_width=self._expand_width,
-                visited_hash_bits=self._visited_hash_bits(),
-                debug_state=True,
-            )
-            state = out[2]
-            li = np.asarray(state.last_improve)
-            budget = int(np.ceil(np.quantile(li, 0.99) * 1.25))
+            k_eff = min(k_anchor, k_max)
+            present = res_step[:, :k_eff].max(axis=1)
+            budget = int(np.ceil(np.quantile(present, 0.99)))
             budgets[k_anchor] = int(np.clip(budget, 16, cap))
             if verbose:
                 print(
-                    f"step budget k={k_anchor}: last_improve "
-                    f"p50={np.quantile(li, .5):.0f} "
-                    f"p99={np.quantile(li, .99):.0f} -> {budgets[k_anchor]}",
+                    f"step budget k={k_anchor}: topk-present "
+                    f"p50={np.quantile(present, .5):.0f} "
+                    f"p99={np.quantile(present, .99):.0f} -> "
+                    f"{budgets[k_anchor]}",
                     flush=True,
                 )
         self._step_budget = budgets
@@ -524,41 +530,136 @@ class Index:
         return self
 
 
+# Auto engine selection: the scan engine holds raw f32 + int8 codes + aux
+# on one chip; above this store-size budget the single-chip scan no longer
+# fits next to its score buffers (16 GB HBM on v5e) and the graph engine's
+# lower per-query bandwidth takes over (beyond that, ShardedIndex).  At
+# every scale that fits, the measured scan/graph QPS ratio is 7-70x in the
+# scan's favor (PARITY.md "Engine crossover") — memory, not speed, is the
+# only reason to pick the graph engine on a single chip.
+SCAN_HBM_BUDGET = 8 << 30
+
+
+def _estimate_scan_bytes(n: int, dim: int) -> int:
+    p = hadamard.next_pow2(dim)
+    n_pad = -(-n // 256) * 256
+    raw = n_pad * p * 4
+    codes = n_pad * p  # int8 levels (<=1 B/dim; packed planes are smaller)
+    aux = n_pad * 4 * 7  # node_aux rows + norm_sq
+    return raw + codes + aux
+
+
 class CPIndex:
     """Drop-in equivalent of the reference Python class `cphnsw.CPIndex`
-    (src/bindings.cpp:115-240)."""
+    (src/bindings.cpp:115-240) — one class, zero search-tuning knobs.
 
-    def __init__(self, dim: int, bits: int = 1):
-        self._index = Index(dim, bits)
+    The engine behind it is derived, not configured (the reference's
+    calibration-parameterless contract extended to the engine choice):
+    `build()` picks the full-database MXU scan (api/scan_index.py) when
+    the store fits the single-chip HBM budget, else the CP-HNSW graph
+    traversal (Index above).  `engine="scan"|"graph"` overrides; `load()`
+    detects the engine from the file header.
+    """
+
+    _ENGINES = ("auto", "scan", "graph")
+
+    def __init__(self, dim: int, bits: int = 1, engine: str = "auto"):
+        if dim <= 0:
+            raise ValueError("dim must be > 0")
+        if bits not in (1, 2, 4):
+            raise ValueError("bits must be one of {1, 2, 4}")
+        if engine not in self._ENGINES:
+            raise ValueError(f"engine must be one of {self._ENGINES}")
+        self._dim = dim
+        self._bits = bits
+        self._engine_req = engine
+        self._index = None
+
+    def _make_engine(self, name: str):
+        if name == "scan":
+            from cphnsw_tpu.api.scan_index import ScanIndex
+
+            return ScanIndex(self._dim, self._bits)
+        return Index(self._dim, self._bits)
+
+    @property
+    def engine(self) -> str:
+        """The resolved engine name ('scan' or 'graph'), None before
+        build/load."""
+        if self._index is None:
+            return None
+        return "graph" if isinstance(self._index, Index) else "scan"
 
     def build(self, vectors):
-        self._index.build(np.asarray(vectors))
+        vectors = np.asarray(vectors)
+        name = self._engine_req
+        if name == "auto":
+            n = vectors.shape[0] if vectors.ndim == 2 else 0
+            fits = _estimate_scan_bytes(max(n, 1), self._dim) <= SCAN_HBM_BUDGET
+            name = "scan" if fits else "graph"
+        if self.engine != name:
+            self._index = self._make_engine(name)
+        self._index.build(vectors)
 
     def finalize(self):
+        if self._index is None:
+            raise RuntimeError("Finalize called without a pending build.")
         self._index.finalize()
 
     def search(self, query, k: int = 10):
+        self._require_index()
         ids, dists = self._index.search(np.asarray(query), k)
         return ids.astype(np.int64), dists.astype(np.float32)
 
     def search_batch(self, queries, k: int = 10):
+        self._require_index()
         ids, dists = self._index.search_batch(np.asarray(queries), k)
         return ids.astype(np.int64), dists.astype(np.float32)
 
     def save(self, path: str):
+        self._require_index()
         self._index.save(path)
 
     def load(self, path: str):
+        from cphnsw_tpu.api import scan_index
+
+        header = _peek_header(path)
+        magic = header.get("magic")
+        if magic == scan_index.MAGIC:
+            name = "scan"
+        elif magic == MAGIC:
+            name = "graph"
+        else:
+            raise ValueError("Not a CPHNSW-TPU index file.")
+        if self._engine_req != "auto" and name != self._engine_req:
+            raise ValueError(
+                f"Index file engine={name!r} mismatches requested "
+                f"engine={self._engine_req!r}"
+            )
+        if self.engine != name:
+            self._index = self._make_engine(name)
         self._index.load(path)
+
+    def _require_index(self):
+        if self._index is None:
+            raise RuntimeError("Index must be finalized before searching.")
 
     @property
     def size(self) -> int:
-        return self._index.size
+        return 0 if self._index is None else self._index.size
 
     @property
     def dim(self) -> int:
-        return self._index.dim
+        return self._dim
 
     @property
     def is_finalized(self) -> bool:
-        return self._index.is_finalized
+        return self._index is not None and self._index.is_finalized
+
+
+def _peek_header(path) -> dict:
+    """Read just the header JSON of a saved index npz."""
+    with np.load(path) as z:
+        if "header" not in z:
+            raise ValueError("Not a CPHNSW-TPU index file.")
+        return json.loads(bytes(z["header"].tobytes()).decode())

@@ -86,14 +86,25 @@ class BeamState(NamedTuple):
     done: jax.Array        # (Q,)
     steps: jax.Array       # ()
     last_improve: jax.Array  # (Q,) int32: step of last result-set change
-    #   (drives the build-time step-budget derivation, api/index.py)
+    res_step: jax.Array    # (Q, K) int32: step each result entry was pushed
+    #   (last_improve/res_step drive the build-time step-budget
+    #    derivation, api/index.py: budget for a k'-NN search = quantile of
+    #    max(res_step[:, :k']) — the first step at which the final top-k'
+    #    was already present)
 
 
-def _merge_results(res_ids, res_d, cand_ids, cand_d, k: int):
+def _merge_results(res_ids, res_d, res_step, cand_ids, cand_d, step, k: int):
     ids = jnp.concatenate([res_ids, cand_ids], axis=1)
     d = jnp.concatenate([res_d, cand_d], axis=1)
+    steps = jnp.concatenate(
+        [res_step, jnp.broadcast_to(step, cand_ids.shape)], axis=1
+    )
     neg_top, sel = jax.lax.top_k(-d, k)
-    return jnp.take_along_axis(ids, sel, axis=1), -neg_top
+    return (
+        jnp.take_along_axis(ids, sel, axis=1),
+        -neg_top,
+        jnp.take_along_axis(steps, sel, axis=1),
+    )
 
 
 @functools.partial(
@@ -215,6 +226,7 @@ def search_batch(
         done=jnp.zeros(q, dtype=bool),
         steps=jnp.int32(0),
         last_improve=jnp.zeros(q, jnp.int32),
+        res_step=jnp.zeros((q, k), jnp.int32),
     )
 
     def cond(s: BeamState):
@@ -422,11 +434,12 @@ def search_batch(
             ],
             axis=1,
         )
-        res_ids_new, res_d_new = _merge_results(
-            s.res_ids, s.res_d, push_ids, push_d, k
+        res_ids_new, res_d_new, res_step_new = _merge_results(
+            s.res_ids, s.res_d, s.res_step, push_ids, push_d, s.steps + 1, k
         )
         res_ids = jnp.where(expand[:, None], res_ids_new, s.res_ids)
         res_d = jnp.where(expand[:, None], res_d_new, s.res_d)
+        res_step = jnp.where(expand[:, None], res_step_new, s.res_step)
         improved = expand & (res_d != s.res_d).any(1)
         last_improve = jnp.where(
             improved & active, s.steps + 1, s.last_improve
@@ -503,6 +516,7 @@ def search_batch(
             done=done,
             steps=s.steps + 1,
             last_improve=last_improve,
+            res_step=res_step,
         )
 
     final = jax.lax.while_loop(cond, body, state)

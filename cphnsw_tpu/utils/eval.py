@@ -37,6 +37,7 @@ class CaseResult:
     """One (dataset, bit-width) measurement — field names are the schema."""
 
     algorithm: str
+    engine: str
     build_time_s: float
     memory_mb: float
     recall_at_1: float
@@ -141,6 +142,7 @@ def bench_one_case(
 
     return CaseResult(
         algorithm=f"cphnsw-tpu-{bits}bit",
+        engine=index.engine,
         build_time_s=round(build_seconds, 2),
         memory_mb=round(footprint, 1),
         recall_at_1=round(recall_at_k(ids, truth, 1), 4),

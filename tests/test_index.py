@@ -121,7 +121,7 @@ def test_load_validates_params(built, tmp_path):
     index, x = built
     path = tmp_path / "index.npz"
     index.save(path)
-    with pytest.raises(ValueError, match="bits/R"):
+    with pytest.raises(ValueError, match="bits"):
         CPIndex(dim=x.shape[1], bits=2).load(path)
     with pytest.raises(ValueError, match="dim"):
         CPIndex(dim=x.shape[1] + 1, bits=1).load(path)
@@ -150,6 +150,33 @@ def test_k_larger_than_n():
     ids, dists = index.search_batch(x[:4], k=100)
     assert ids.shape == (4, 100)
     assert (ids[:, 60:] == -1).all()
+
+
+def test_engine_auto_selection(built, rng, tmp_path):
+    """CPIndex derives the engine (the parameterless contract extended to
+    the engine choice): scan when the store fits single-chip HBM, explicit
+    override via engine=, and load() detects the engine from the file."""
+    index, x = built
+    assert index.engine == "scan"  # auto at this scale -> scan
+
+    g = CPIndex(dim=x.shape[1], bits=1, engine="graph")
+    g.build(x)
+    g.finalize()
+    assert g.engine == "graph"
+    queries = x[rng.choice(len(x), 16, replace=False)]
+    ids_g, _ = g.search_batch(queries, k=10)
+    ids_s, _ = index.search_batch(queries, k=10)
+    # both engines find (mostly) the same exact-reranked neighbors
+    agree = (ids_g[:, :, None] == ids_s[:, None, :]).any(-1).mean()
+    assert agree > 0.8
+
+    path = tmp_path / "graph.npz"
+    g.save(path)
+    auto = CPIndex(dim=x.shape[1], bits=1)
+    auto.load(path)
+    assert auto.engine == "graph"
+    with pytest.raises(ValueError, match="engine"):
+        CPIndex(dim=x.shape[1], bits=1, engine="scan").load(path)
 
 
 def test_hnsw_entry_strategy(rng):
