@@ -41,14 +41,16 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
 
 from cphnsw_tpu.api.index import CPIndex, Index
 
-__all__ = ["CPIndex", "Index", "ScanIndex", "ShardedIndex"]
+__all__ = [
+    "CPIndex", "Index", "ScanIndex", "ShardedIndex", "ShardedScanIndex"
+]
 
 
 def __getattr__(name):  # lazy: parallel/ pulls in shard_map machinery
-    if name == "ShardedIndex":
-        from cphnsw_tpu.parallel.sharded import ShardedIndex
+    if name in ("ShardedIndex", "ShardedScanIndex"):
+        from cphnsw_tpu.parallel import sharded
 
-        return ShardedIndex
+        return getattr(sharded, name)
     if name == "ScanIndex":
         from cphnsw_tpu.api.scan_index import ScanIndex
 

@@ -540,11 +540,11 @@ class Index:
 SCAN_HBM_BUDGET = 8 << 30
 
 
-def _estimate_scan_bytes(n: int, dim: int) -> int:
+def _estimate_scan_bytes(n: int, dim: int, bits: int = 1) -> int:
     p = hadamard.next_pow2(dim)
     n_pad = -(-n // 256) * 256
     raw = n_pad * p * 4
-    codes = n_pad * p  # int8 levels (<=1 B/dim; packed planes are smaller)
+    codes = n_pad * max(p // 32, 1) * 4 * bits  # packed uint32 bit-planes
     aux = n_pad * 4 * 7  # node_aux rows + norm_sq
     return raw + codes + aux
 
@@ -595,7 +595,10 @@ class CPIndex:
         name = self._engine_req
         if name == "auto":
             n = vectors.shape[0] if vectors.ndim == 2 else 0
-            fits = _estimate_scan_bytes(max(n, 1), self._dim) <= SCAN_HBM_BUDGET
+            fits = (
+                _estimate_scan_bytes(max(n, 1), self._dim, self._bits)
+                <= SCAN_HBM_BUDGET
+            )
             name = "scan" if fits else "graph"
         if self.engine != name:
             self._index = self._make_engine(name)

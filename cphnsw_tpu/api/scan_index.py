@@ -25,11 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cphnsw_tpu.ops import hadamard, quantize
+from cphnsw_tpu.ops import hadamard, pack, quantize
 from cphnsw_tpu.search import scan
 
 MAGIC = "CPHNSW-TPU-SCAN"
-VERSION = 1
+VERSION = 2  # v2: codes stored as packed uint32 bit-planes (bits*P/8 B/vec)
 ENCODE_CHUNK = 1 << 17  # rows per encode dispatch (bounds HBM intermediates)
 # Queries are uploaded and searched in fixed sub-batches so the host->device
 # transfer of sub-batch i+1 overlaps the scan of sub-batch i (dispatch is
@@ -127,7 +127,7 @@ class ScanIndex:
         rot_centroid = hadamard.rotate(centroid, self._signs)
         kappa = float((1 << self._bits) - 1)
 
-        codes, nops, qos, cps, wpcs = [], [], [], [], []
+        planes_l, nops, qos, cps, wpcs = [], [], [], [], []
         for s in range(0, n_pad, ENCODE_CHUNK):
             e = min(s + ENCODE_CHUNK, n_pad)
             enc = quantize.encode_vectors(
@@ -135,19 +135,19 @@ class ScanIndex:
             )
             cbar = (2.0 * enc.u.astype(jnp.float32) - kappa) / kappa
             ip_cp = cbar @ rot_centroid / jnp.sqrt(float(self._padded))
-            codes.append(enc.u.astype(jnp.int8))
+            planes_l.append(pack.pack_planes(enc.u, self._bits))
             nops.append(enc.nop)
             qos.append(enc.ip_qo)
             cps.append(ip_cp)
             wpcs.append(enc.u.sum(axis=-1).astype(jnp.int32))
-        codes_i8 = jnp.concatenate(codes)
+        planes = jnp.concatenate(planes_l)
         nop = jnp.concatenate(nops)
         ip_qo = jnp.concatenate(qos)
         ip_cp = jnp.concatenate(cps)
         wpc = jnp.concatenate(wpcs)
 
         a, b, floor = scan.calibrate_scan_affine(
-            raw, codes_i8, nop, ip_qo, ip_cp, wpc, centroid, self._signs,
+            raw, planes, nop, ip_qo, ip_cp, wpc, centroid, self._signs,
             n, self._bits, seed=self._seed + 99999,
         )
         node_aux = scan.fold_node_constants(
@@ -155,7 +155,7 @@ class ScanIndex:
             jnp.asarray(n),
         )
         arrays = scan.ScanArrays(
-            codes_i8=codes_i8, node_aux=node_aux, raw=raw, norm_sq=norm_sq
+            planes=planes, node_aux=node_aux, raw=raw, norm_sq=norm_sq
         )
         budget = scan.derive_candidate_budget(
             arrays, self._signs, a, b, n, kappa, seed=self._seed + 4242
@@ -170,7 +170,7 @@ class ScanIndex:
         self._node_host = dict(
             nop=np.asarray(nop), ip_qo=np.asarray(ip_qo),
             ip_cp=np.asarray(ip_cp), wpc=np.asarray(wpc),
-            codes=np.asarray(codes_i8),
+            planes=np.asarray(planes),
         )
         self._arrays = arrays
         self._centroid = centroid
@@ -209,31 +209,45 @@ class ScanIndex:
             )
 
         nq = len(queries)
-        sub = min(SEARCH_SUB_BATCH, 1 << max(6, (nq - 1).bit_length()))
-        pad_rows = (-nq) % sub
-        if pad_rows:
-            queries_in = np.concatenate(
-                [queries, np.repeat(queries[-1:], pad_rows, axis=0)]
-            )
-        else:
-            queries_in = queries
-
-        n_pad = self._arrays.codes_i8.shape[0]
-        chunk, n_eq, rem = scan.chunk_plan(n_pad, sub)
-        top_c = self._budget.top_c(k_eff, self._n)
-        top_c = min(top_c, chunk)  # approx_max_k bound per chunk
-        top_c = max(top_c, k_eff)
+        n_pad = self._arrays.raw.shape[0]
+        top_c_k = self._budget.top_c(k_eff, self._n)
         aff_a, aff_b, n_dev = self._dev_scalars
+        # Sub-batch plan: full SEARCH_SUB_BATCH slices, then the tail
+        # rounded up to its own power-of-two bucket (>= 64) instead of a
+        # full extra sub-batch — nq=2049 costs one 2048 scan + one 64
+        # scan, not two 2048 scans (the jit cache holds one program per
+        # bucket size, a bounded grid).
+        plan = []  # (start, rows, padded_rows)
+        s = 0
+        while s < nq:
+            rem_q = nq - s
+            if rem_q >= SEARCH_SUB_BATCH:
+                plan.append((s, SEARCH_SUB_BATCH, SEARCH_SUB_BATCH))
+                s += SEARCH_SUB_BATCH
+            else:
+                bucket = min(
+                    1 << max(6, (rem_q - 1).bit_length()), SEARCH_SUB_BATCH
+                )
+                plan.append((s, rem_q, bucket))
+                s = nq
         # dispatch every sub-batch without syncing: upload(i+1) overlaps
         # scan(i) on the device
         outs = []
-        for s in range(0, len(queries_in), sub):
-            q_dev = jax.device_put(queries_in[s:s + sub])
-            outs.append(scan.scan_search(
+        for start, rows, padded in plan:
+            q_sub = queries[start:start + rows]
+            if padded != rows:
+                q_sub = np.concatenate(
+                    [q_sub, np.repeat(q_sub[-1:], padded - rows, axis=0)]
+                )
+            chunk, n_eq, rem = scan.chunk_plan(n_pad, padded)
+            top_c = max(min(top_c_k, chunk), k_eff)
+            q_dev = jax.device_put(q_sub)
+            ids_d, d_d = scan.scan_search(
                 self._arrays, q_dev, self._signs, aff_a, aff_b, n_dev,
                 kappa=float((1 << self._bits) - 1),
                 k=k_eff, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
-            ))
+            )
+            outs.append((ids_d[:rows], d_d[:rows]))
         # pack (ids, dists) of all sub-batches into ONE device array and
         # fetch with ONE transfer: every host<->device round trip costs
         # ~30 ms on the tunnel.
@@ -340,7 +354,7 @@ class ScanIndex:
             node_host = dict(
                 nop=np.asarray(z["nop"]), ip_qo=np.asarray(z["ip_qo"]),
                 ip_cp=np.asarray(z["ip_cp"]), wpc=np.asarray(z["wpc"]),
-                codes=np.asarray(z["codes"]),
+                planes=np.asarray(z["planes"]),
             )
             raw_h = np.asarray(z["raw"])
             centroid_h = np.asarray(z["centroid"])
@@ -366,7 +380,7 @@ class ScanIndex:
             jnp.asarray(self._n),
         )
         self._arrays = scan.ScanArrays(
-            codes_i8=jnp.asarray(node_host["codes"]),
+            planes=jnp.asarray(node_host["planes"]),
             node_aux=node_aux,
             raw=raw,
             norm_sq=jnp.sum(raw * raw, axis=-1),

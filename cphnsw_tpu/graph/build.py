@@ -43,11 +43,9 @@ class NeighborStore:
     (R*bits*W) u32-bitcast, plane-major (plane 0 = MSB first) with words
     inner] [zero pad].  One ~1 KB row gather per popped node replaces
     three ~0.5 KB gathers.  Rows are zero-padded to a multiple of 128
-    int32 so the fused Pallas step kernel can DMA each node row as a
-    (S, 128) tile (ops/fused_step.py); for R=32 every channel then
-    occupies a 32-lane quarter of a 128-lane row.  `ids` is also kept
-    standalone (graph algorithms use it heavily); logical views derive
-    from `fused`.
+    int32 so the row gather lands on lane-aligned tiles.  `ids` is also
+    kept standalone (graph algorithms use it heavily); logical views
+    derive from `fused`.
 
     Registered as a pytree with (r, bits, words) as static aux data so the
     layout metadata stays python-level under jit.

@@ -57,6 +57,24 @@ def unpack_planes(planes: jax.Array, padded_dim: int) -> jax.Array:
     return (expanded * weights[:, None]).sum(axis=-2).astype(jnp.int32)
 
 
+def unpack_codes_i8(planes: jax.Array, padded_dim: int) -> jax.Array:
+    """Unpack uint32 planes (..., bits, W) -> combined codes (..., P) int8.
+
+    Same recombination as unpack_planes (u = sum_b 2^(bits-1-b) * plane_b)
+    but staying in int8 end-to-end so XLA fuses the whole shift/mask/sum
+    chain into one elementwise kernel whose only materialized output is
+    the int8 matmul operand (code values are <= 15, so int8 is exact).
+    """
+    bits = planes.shape[-2]
+    bit_idx = jnp.arange(WORD_BITS, dtype=jnp.uint32)
+    x = ((planes[..., None] >> bit_idx) & jnp.uint32(1)).astype(jnp.int8)
+    x = x.reshape(*planes.shape[:-1], -1)[..., :padded_dim]  # (..., bits, P)
+    weights = (
+        jnp.int8(1) << jnp.arange(bits - 1, -1, -1, dtype=jnp.int8)
+    )
+    return jnp.sum(x * weights[:, None], axis=-2, dtype=jnp.int8)
+
+
 def unpack_msb(planes: jax.Array, padded_dim: int, bits: int) -> jax.Array:
     """Unpack only the MSB portion used for the two-stage lower bound.
 

@@ -26,11 +26,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35 top-level API; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cphnsw_tpu.graph.build import NeighborStore
-from cphnsw_tpu.search import beam
+from cphnsw_tpu.search import beam, scan
 
 FLOAT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
 
@@ -127,8 +131,260 @@ def sharded_search(
     out_specs = (P("data", None), P("data", None))
     return shard_map(
         local_search, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )(*store, queries)
+
+
+# --------------------------------------------------------------------------
+# Sharded full-database scan: the north-star scale-out configuration
+# (BASELINE.md "Deep100M sharded: per-chip scan + cross-chip top-k
+# all-gather merge").  Each model-shard owns a contiguous row slice of the
+# scan store (packed code planes + folded node constants + raw vectors);
+# one search step = shard_map{ local MXU scan -> local exact-L2 top-k ->
+# all_gather along "model" -> merge }.  Per-shard top-k lists are exact
+# within their shard, so the merged top-k equals the single-chip result.
+# --------------------------------------------------------------------------
+
+
+class ShardedScanStore(NamedTuple):
+    """Model-axis row slices of a ScanArrays store, stacked on (S, ...)."""
+
+    planes: jax.Array     # (S, N_s, B, W) uint32 packed code planes
+    node_aux: jax.Array   # (S, 6, N_s)
+    raw: jax.Array        # (S, N_s, P)
+    norm_sq: jax.Array    # (S, N_s)
+
+
+def shard_scan_arrays(
+    arrays: scan.ScanArrays, n_shards: int
+) -> ShardedScanStore:
+    """Slice a single-chip ScanArrays into n_shards contiguous row blocks.
+
+    The store's pad rows (node_aux row 0 == PAD_SCORE) land in the last
+    shard and rank last there, exactly as on one chip.  Rows are padded to
+    a multiple of n_shards*256 so every shard gets the same static shape.
+    """
+    n_pad, p = arrays.raw.shape
+    per = -(-n_pad // (n_shards * 256)) * 256
+    total = per * n_shards
+    if total != n_pad:
+        extra = total - n_pad
+        b, w = arrays.planes.shape[1:]
+        planes = jnp.concatenate(
+            [arrays.planes, jnp.zeros((extra, b, w), jnp.uint32)]
+        )
+        pad_aux = jnp.zeros((6, extra), jnp.float32).at[0].set(scan.PAD_SCORE)
+        node_aux = jnp.concatenate([arrays.node_aux, pad_aux], axis=1)
+        raw = jnp.concatenate([arrays.raw, jnp.zeros((extra, p))])
+        norm_sq = jnp.concatenate([arrays.norm_sq, jnp.zeros(extra)])
+    else:
+        planes, node_aux, raw, norm_sq = (
+            arrays.planes, arrays.node_aux, arrays.raw, arrays.norm_sq
+        )
+    b, w = planes.shape[1:]
+    return ShardedScanStore(
+        planes=planes.reshape(n_shards, per, b, w),
+        node_aux=node_aux.reshape(6, n_shards, per).transpose(1, 0, 2),
+        raw=raw.reshape(n_shards, per, p),
+        norm_sq=norm_sq.reshape(n_shards, per),
+    )
+
+
+def shard_scan_store(store: ShardedScanStore, mesh: Mesh) -> ShardedScanStore:
+    """Place each stacked array with its leading (shard) axis on "model"."""
+    spec = NamedSharding(mesh, P("model"))
+    return ShardedScanStore(*(jax.device_put(a, spec) for a in store))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kappa", "k", "top_c", "chunk", "n_eq", "rem", "mesh"),
+)
+def sharded_scan_search(
+    store: ShardedScanStore,
+    queries: jax.Array,
+    signs: jax.Array,
+    affine_a,
+    affine_b,
+    n,
+    mesh: Mesh,
+    kappa: float,
+    k: int,
+    top_c: int,
+    chunk: int,
+    n_eq: int,
+    rem: int,
+):
+    """Global top-k over all scan shards.
+
+    queries: (Q, dim<=P) with Q divisible by the "data" axis size; ids
+    returned are GLOBAL store rows (shard * N_s + local), -1 for pad.
+    (chunk, n_eq, rem) is the LOCAL chunk plan (scan.chunk_plan of the
+    per-shard row count).  n is the global count of genuine rows; every
+    row the caller padded ranks last via its PAD_SCORE node constant.
+    """
+
+    def local_search(planes, aux, raw, norm_sq, q):
+        arrays = scan.ScanArrays(
+            planes=planes[0], node_aux=aux[0], raw=raw[0],
+            norm_sq=norm_sq[0],
+        )
+        n_local = arrays.raw.shape[0]
+        # a shard can contribute at most its own row count; the merged
+        # width S * k_local >= k because k <= n <= S * n_local
+        k_local = min(k, n_local)
+        base = jax.lax.axis_index("model").astype(jnp.int32) * n_local
+        # local ids are valid iff their global row is a genuine vector
+        local_ids, local_d = scan.scan_search(
+            arrays, q, signs, affine_a, affine_b,
+            jnp.maximum(jnp.minimum(n - base, n_local), 0),
+            kappa=kappa, k=k_local,
+            top_c=max(min(top_c, n_local), k_local),
+            chunk=chunk, n_eq=n_eq, rem=rem,
+        )
+        global_ids = jnp.where(local_ids >= 0, local_ids + base, -1)
+        all_ids = jax.lax.all_gather(global_ids, "model", axis=0)  # (S,Q,k)
+        all_d = jax.lax.all_gather(local_d, "model", axis=0)
+        qn = q.shape[0]
+        all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(qn, -1)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(qn, -1)
+        neg_top, sel = jax.lax.top_k(-all_d, k)
+        ids = jnp.take_along_axis(all_ids, sel, axis=1)
+        return jnp.where(neg_top > -FLOAT_MAX, ids, -1), -neg_top
+
+    in_specs = (*(P("model") for _ in range(4)), P("data", None))
+    out_specs = (P("data", None), P("data", None))
+    return shard_map(
+        local_search, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(*store, queries)
+
+
+class ShardedScanIndex:
+    """ScanIndex semantics with the store partitioned over the mesh's
+    "model" axis and queries data-parallel over "data".
+
+    Encoding + calibration + the candidate budget are built once by the
+    single-chip ScanIndex pipeline (chunked host-side programs), then the
+    finished store is sliced row-wise across the mesh; every search runs
+    per-chip scans and one cross-chip all-gather top-k merge.  Query
+    batches of any size work — they are padded to the data-axis multiple
+    and trimmed on return.
+    """
+
+    def __init__(self, dim: int, bits: int = 1, seed: int = 42,
+                 metric: str = "l2"):
+        from cphnsw_tpu.api.scan_index import ScanIndex
+
+        self._inner = ScanIndex(dim, bits=bits, rotation_seed=seed,
+                                metric=metric)
+        self.dim = dim
+        self.bits = bits
+        self._mesh = None
+        self._store = None
+
+    def build(self, vectors: np.ndarray, mesh: Mesh):
+        self._inner.build(vectors)
+        self._inner.finalize()
+        return self._attach(mesh)
+
+    def _attach(self, mesh: Mesh):
+        n_model = mesh.shape["model"]
+        self._store = shard_scan_store(
+            shard_scan_arrays(self._inner._arrays, n_model), mesh
+        )
+        # free the single-chip copy; the facade keeps host copies for save
+        self._inner._arrays = None
+        self._mesh = mesh
+        return self
+
+    @property
+    def size(self) -> int:
+        return self._inner.size
+
+    def search_batch(self, queries: np.ndarray, k: int = 10):
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        inner = self._inner
+        if queries.ndim != 2 or queries.shape[1] != inner._dim:
+            raise ValueError(
+                f"expected (q, {inner._dim}) float32 queries, got "
+                f"{queries.shape}"
+            )
+        k = max(int(k), 1)
+        k_eff = min(k, inner._n)
+        if inner._metric == "ip":
+            queries = np.concatenate(
+                [queries, np.zeros((len(queries), 1), np.float32)], axis=1
+            )
+        nq = len(queries)
+        n_data = self._mesh.shape["data"]
+        pad = (-nq) % n_data
+        q_in = queries
+        if pad:
+            q_in = np.concatenate(
+                [queries, np.repeat(queries[-1:], pad, axis=0)]
+            )
+        n_local = int(self._store.raw.shape[1])
+        chunk, n_eq, rem = scan.chunk_plan(n_local, len(q_in) // n_data)
+        top_c = max(min(inner._budget.top_c(k_eff, inner._n), chunk), k_eff)
+        aff_a, aff_b, n_dev = inner._dev_scalars
+        ids, dists = sharded_scan_search(
+            self._store, jnp.asarray(q_in), inner._signs, aff_a, aff_b,
+            n_dev, self._mesh, kappa=float((1 << self.bits) - 1),
+            k=k_eff, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
+        )
+        ids = np.asarray(ids)[:nq].astype(np.int64)
+        dists = np.asarray(dists)[:nq]
+        if inner._metric == "ip":
+            qn = (queries[:nq, : inner._dim] ** 2).sum(1, keepdims=True)
+            dists = np.where(
+                dists < np.finfo(np.float32).max,
+                (qn + inner._ip_norm_bound - dists) / 2.0,
+                -np.inf,
+            ).astype(np.float32)
+        if k_eff < k:
+            pad_i = np.full((nq, k - k_eff), -1, np.int64)
+            pad_val = (
+                -np.inf if inner._metric == "ip"
+                else np.finfo(np.float32).max
+            )
+            pad_d = np.full((nq, k - k_eff), pad_val, np.float32)
+            ids = np.concatenate([ids, pad_i], axis=1)
+            dists = np.concatenate([dists, pad_d], axis=1)
+        return ids, dists
+
+    # ---------------------------------------------------------- persist
+    def save(self, path):
+        """Persist via the inner ScanIndex format (the store slicing is
+        derived runtime state, re-created at load for whatever mesh)."""
+        inner = self._inner
+        if inner._node_host is None:
+            raise RuntimeError("ShardedScanIndex must be built before save.")
+        # rebuild the single-chip arrays view for save if it was released
+        if inner._arrays is None:
+            self._rehydrate_inner()
+        inner.save(path)
+
+    def load(self, path, mesh: Mesh):
+        self._inner.load(path)
+        return self._attach(mesh)
+
+    def _rehydrate_inner(self):
+        inner = self._inner
+        raw = jnp.asarray(np.asarray(self._store.raw).reshape(
+            -1, self._store.raw.shape[-1]
+        ))
+        node_aux = jnp.asarray(
+            np.asarray(self._store.node_aux).transpose(1, 0, 2).reshape(6, -1)
+        )
+        planes = jnp.asarray(np.asarray(self._store.planes).reshape(
+            -1, *self._store.planes.shape[2:]
+        ))
+        n_pad = scan.store_pad(inner._n)
+        inner._arrays = scan.ScanArrays(
+            planes=planes[:n_pad], node_aux=node_aux[:, :n_pad],
+            raw=raw[:n_pad], norm_sq=jnp.sum(raw[:n_pad] ** 2, axis=-1),
+        )
 
 
 def build_sharded_store(
@@ -229,6 +485,60 @@ def _pooled_params(store, signs, bits, r, padded, max_shards=3):
     return beam.SearchParams(**pooled)
 
 
+def _derive_shard_step_budget(
+    store: ShardedStore,
+    params: beam.SearchParams,
+    signs,
+    bits: int,
+    r: int,
+    seed: int,
+    max_shards: int = 2,
+) -> dict:
+    """Recall-sufficient step budget for the sharded beam path, measured
+    on up to max_shards shard subgraphs (same derivation as
+    Index._derive_step_budget: one generously-capped k=100 run over
+    jittered database rows; budget = p99 of the first step at which the
+    final top-k' was present).  The per-anchor max over shards is taken —
+    shards are i.i.d. partitions, so this bounds the straggler."""
+    rng = np.random.default_rng(seed + 4242)
+    budgets = {10: 16, 100: 16}
+    n_shards = int(store.raw.shape[0])
+    for s in range(min(n_shards, max_shards)):
+        raw = store.raw[s]
+        n_local = int(raw.shape[0])
+        m = int(min(128, n_local))
+        ids = rng.choice(n_local, size=m, replace=False)
+        db_q = np.asarray(raw[jnp.asarray(ids)])
+        sigma = db_q.std(axis=0, keepdims=True)
+        half = m // 2
+        synth = db_q[:half] + rng.standard_normal(
+            (half, db_q.shape[1])
+        ).astype(np.float32) * sigma
+        queries = np.concatenate([db_q[half:], synth], axis=0)
+        bucket = 1 << max(6, (len(queries) - 1).bit_length())
+        if bucket != len(queries):
+            queries = np.concatenate(
+                [queries, queries[-1:].repeat(bucket - len(queries), 0)]
+            )
+        neighbors = NeighborStore.pack(
+            store.nbr_ids[s], store.nbr_planes[s], store.nbr_aux[s]
+        )
+        k_max = min(100, n_local)
+        out = beam.search_batch(
+            raw, store.norm_sq[s], neighbors, store.entry_candidates[s],
+            signs, jnp.asarray(queries), params, bits=bits, k=k_max,
+            beam_cap=max(2 * r, 4 * k_max), max_steps=512, n_seeds=4,
+            debug_state=True,
+        )
+        res_step = np.asarray(out[2].res_step)
+        for k_anchor in (10, 100):
+            k_eff = min(k_anchor, k_max)
+            present = res_step[:, :k_eff].max(axis=1)
+            b = int(np.clip(np.ceil(np.quantile(present, 0.99)), 16, 512))
+            budgets[k_anchor] = max(budgets[k_anchor], b)
+    return budgets
+
+
 class ShardedIndex:
     """User-facing facade over the sharded store: CPIndex semantics with
     the database partitioned over the mesh's "model" axis.
@@ -262,16 +572,48 @@ class ShardedIndex:
         self._params = _pooled_params(
             store, self._signs, self.bits, self.r, self._padded
         )
+        self._step_budget = _derive_shard_step_budget(
+            store, self._params, self._signs, self.bits, self.r, self.seed
+        )
         self._store = shard_store(store, mesh)
         self._mesh = mesh
         return self
 
+    def _max_steps(self, k: int) -> int:
+        """Measured step budget (same recall-sufficient-step derivation as
+        Index._derive_step_budget, run on shard subgraphs at build time),
+        log-k interpolated between the k=10 and k=100 anchors."""
+        sb = getattr(self, "_step_budget", None)
+        if not sb:
+            return 512
+        s10, s100 = sb[10], sb[100]
+        if k <= 10:
+            need = s10
+        elif k >= 100:
+            need = s100
+        else:
+            need = s10 + (s100 - s10) * (np.log10(k) - 1.0)
+        return int(np.clip(8 * np.ceil(need / 8.0), 16, 512))
+
     def search_batch(self, queries: np.ndarray, k: int = 10):
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        # pad the batch to the data-axis multiple; trim on return
+        nq = len(queries)
+        pad = (-nq) % self._mesh.shape["data"]
+        q_in = queries
+        if pad:
+            q_in = np.concatenate(
+                [queries, np.repeat(queries[-1:], pad, axis=0)]
+            )
         ids, dists = sharded_search(
-            self._store, jnp.asarray(queries, jnp.float32), self._params,
-            self._signs, self._mesh, bits=self.bits, k=k, n_real=self._n,
+            self._store, jnp.asarray(q_in), self._params,
+            self._signs, self._mesh, bits=self.bits, k=k,
+            max_steps=self._max_steps(k), n_real=self._n,
         )
-        return np.asarray(ids).astype(np.int64), np.asarray(dists)
+        return (
+            np.asarray(ids)[:nq].astype(np.int64),
+            np.asarray(dists)[:nq],
+        )
 
     # ---------------------------------------------------------- persist
     def save(self, path):
@@ -290,6 +632,7 @@ class ShardedIndex:
             "r": self.r,
             "seed": self.seed,
             "n": self._n,
+            "step_budget": getattr(self, "_step_budget", None),
             "params": {
                 f: np.asarray(getattr(self._params, f)).tolist()
                 for f in self._params._fields
@@ -330,6 +673,10 @@ class ShardedIndex:
             )
             pf = header["params"]
         self._n = header["n"]
+        sb = header.get("step_budget")
+        self._step_budget = (
+            {int(kk): int(vv) for kk, vv in sb.items()} if sb else None
+        )
         self._params = beam.SearchParams(
             **{
                 f: (

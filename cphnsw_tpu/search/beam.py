@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from cphnsw_tpu.graph.build import NeighborStore
-from cphnsw_tpu.ops import estimate, fused_step, hadamard, pack, quantize
+from cphnsw_tpu.ops import estimate, hadamard, pack, quantize
 
 FLOAT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
 EPS_SMALL = 1e-12
@@ -109,7 +109,7 @@ def _merge_results(res_ids, res_d, res_step, cand_ids, cand_d, step, k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "expand_width", "rerank_width", "visited_hash_bits", "use_pallas", "debug_state"),
+    static_argnames=("bits", "k", "beam_cap", "max_steps", "n_seeds", "expand_width", "rerank_width", "visited_hash_bits", "debug_state"),
 )
 def search_batch(
     raw: jax.Array,
@@ -127,7 +127,6 @@ def search_batch(
     expand_width: int = 1,
     rerank_width: int = 0,
     visited_hash_bits: int = 0,
-    use_pallas: bool = False,
     debug_state: bool = False,
 ):
     """DABS layer-0 search for a batch of queries.
@@ -273,96 +272,64 @@ def search_batch(
         slack_cnt = s.slack_cnt + expand_e.sum(1).astype(jnp.int32)
 
         # ---- score all E*R candidates per query ----
+        # (A fused Pallas gather+score kernel was built and measured on
+        # the chip: 127.0 ms vs this XLA path's 119.4 ms at Q=256 —
+        # identical results, ~6% slower — so it was retired; numbers in
+        # PARITY.md "Pallas fused step kernel".)
         er = expand_width * r
-        if use_pallas:
-            # fused gather+score kernel: the node-row gather, bit-plane
-            # unpack, MXU fastscan, and distance conversion all run in
-            # VMEM (ops/fused_step.py); HBM traffic is rows in, tiles out
-            scalars = jnp.zeros((q, 128), jnp.float32)
-            scalars = scalars.at[:, 0].set(qc.coeff_a)
-            scalars = scalars.at[:, 1].set(qc.coeff_b)
-            scalars = scalars.at[:, 2].set(qc.coeff_c)
-            scalars = scalars.at[:, 3].set(
-                jnp.broadcast_to(params.affine_a, (q,))
+        g = neighbors.fused[cur_safe]                      # (Q, E, F)
+        nbr_ids = g[..., :r].reshape(q, er)
+        valid = (nbr_ids >= 0) & jnp.repeat(expand_e, r, axis=1)
+        nbr_safe = jnp.where(valid, nbr_ids, 0)
+        aux_g = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(
+                    g[..., (1 + c) * r : (2 + c) * r], jnp.float32
+                ).reshape(q, er)
+                for c in range(4)
+            ],
+            axis=-1,
+        )
+        planes_wm = jax.lax.bitcast_convert_type(
+            g[..., 5 * r : (5 + bits * neighbors.words) * r], jnp.uint32
+        ).reshape(q, expand_width, bits, neighbors.words, r)
+        planes = jnp.moveaxis(planes_wm, 4, 2)     # (Q,E,R,B,W)
+        u = pack.unpack_planes(planes, p).reshape(q, er, p)
+        fs = jnp.einsum(
+            "qrp,qp->qr", u, qc.q_u, preferred_element_type=jnp.int32
+        )
+        ip_full = estimate.ip_from_fastscan(
+            fs, aux_g[..., 3],
+            qc.coeff_a[:, None], qc.coeff_b[:, None], qc.coeff_c[:, None],
+            k_scale,
+        )
+        if bits >= 2:
+            u_msb = pack.unpack_msb(planes, p, bits).reshape(q, er, p)
+            fs_msb = jnp.einsum(
+                "qrp,qp->qr", u_msb, qc.q_u,
+                preferred_element_type=jnp.int32,
             )
-            scalars = scalars.at[:, 4].set(
-                jnp.broadcast_to(params.affine_b, (q,))
+            wpc_msb = u_msb.sum(-1)
+            ip_bound = estimate.ip_from_fastscan(
+                fs_msb, wpc_msb,
+                qc.coeff_a[:, None], qc.coeff_b[:, None],
+                qc.coeff_c[:, None], msb_scale,
             )
-            scalars = scalars.at[:, 5].set(
-                jnp.broadcast_to(params.ip_qo_floor, (q,))
-            )
-            scalars = scalars.at[:, 6].set(dot_slack)
-            groups = (expand_width + 3) // 4
-            dqp_flat_k = jnp.repeat(d_qp_sq, r, axis=1)
-            if groups * 128 != er:
-                dqp_flat_k = jnp.pad(
-                    dqp_flat_k, [(0, 0), (0, groups * 128 - er)]
-                )
-            n_rows = neighbors.fused.shape[0]
-            est, lower, nbr_ids = fused_step.fused_score(
-                cur_safe, qc.q_u.astype(jnp.float32), scalars, dqp_flat_k,
-                neighbors.fused.reshape(n_rows, -1, 128),
-                bits=bits, e=expand_width, p=p,
-            )
-            est = est[:, :er]
-            lower = lower[:, :er]
-            nbr_ids = nbr_ids[:, :er]
-            valid = (nbr_ids >= 0) & jnp.repeat(expand_e, r, axis=1)
-            nbr_safe = jnp.where(valid, nbr_ids, 0)
         else:
-            g = neighbors.fused[cur_safe]                      # (Q, E, F)
-            nbr_ids = g[..., :r].reshape(q, er)
-            valid = (nbr_ids >= 0) & jnp.repeat(expand_e, r, axis=1)
-            nbr_safe = jnp.where(valid, nbr_ids, 0)
-            aux_g = jnp.stack(
-                [
-                    jax.lax.bitcast_convert_type(
-                        g[..., (1 + c) * r : (2 + c) * r], jnp.float32
-                    ).reshape(q, er)
-                    for c in range(4)
-                ],
-                axis=-1,
-            )
-            planes_wm = jax.lax.bitcast_convert_type(
-                g[..., 5 * r : (5 + bits * neighbors.words) * r], jnp.uint32
-            ).reshape(q, expand_width, bits, neighbors.words, r)
-            planes = jnp.moveaxis(planes_wm, 4, 2)     # (Q,E,R,B,W)
-            u = pack.unpack_planes(planes, p).reshape(q, er, p)
-            fs = jnp.einsum(
-                "qrp,qp->qr", u, qc.q_u, preferred_element_type=jnp.int32
-            )
-            ip_full = estimate.ip_from_fastscan(
-                fs, aux_g[..., 3],
-                qc.coeff_a[:, None], qc.coeff_b[:, None], qc.coeff_c[:, None],
-                k_scale,
-            )
-            if bits >= 2:
-                u_msb = pack.unpack_msb(planes, p, bits).reshape(q, er, p)
-                fs_msb = jnp.einsum(
-                    "qrp,qp->qr", u_msb, qc.q_u,
-                    preferred_element_type=jnp.int32,
-                )
-                wpc_msb = u_msb.sum(-1)
-                ip_bound = estimate.ip_from_fastscan(
-                    fs_msb, wpc_msb,
-                    qc.coeff_a[:, None], qc.coeff_b[:, None],
-                    qc.coeff_c[:, None], msb_scale,
-                )
-            else:
-                ip_bound = ip_full
+            ip_bound = ip_full
 
-            calib = estimate.CalibParams(
-                affine_a=params.affine_a,
-                affine_b=params.affine_b,
-                ip_qo_floor=params.ip_qo_floor,
-                dot_slack=dot_slack[:, None],
-            )
-            d_qp_flat = jnp.repeat(d_qp_sq, r, axis=1)         # (Q, E*R)
-            est, lower = estimate.distances_with_bounds(
-                ip_full, ip_bound,
-                aux_g[..., 0], aux_g[..., 1], aux_g[..., 2],
-                d_qp_flat, calib,
-            )
+        calib = estimate.CalibParams(
+            affine_a=params.affine_a,
+            affine_b=params.affine_b,
+            ip_qo_floor=params.ip_qo_floor,
+            dot_slack=dot_slack[:, None],
+        )
+        d_qp_flat = jnp.repeat(d_qp_sq, r, axis=1)         # (Q, E*R)
+        est, lower = estimate.distances_with_bounds(
+            ip_full, ip_bound,
+            aux_g[..., 0], aux_g[..., 1], aux_g[..., 2],
+            d_qp_flat, calib,
+        )
 
         # ---- dedup + gates ----
         if visited_hash_bits > 0:

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cphnsw_tpu.ops import estimate, hadamard, quantize
+from cphnsw_tpu.ops import estimate, hadamard, pack, quantize
 from cphnsw_tpu.ops.quantize import EPS_MEDIUM
 
 FLOAT_MAX = jnp.finfo(jnp.float32).max
@@ -57,10 +57,14 @@ PAD_SCORE = 1e30
 # QPS difference).  0.9 is the measured knee; the derived candidate
 # budget's safety margin (RANK_SAFETY) absorbs the residual head misses.
 APPROX_RECALL = 0.9
-# Score-buffer budget per chunk in f32 elements (Q * chunk <= this):
-# 2^30 elements = 4 GB, comfortably inside a v5e's 16 GB HBM next to
-# codes + raw vectors (100k x 8192 queries stays single-chunk).
-CHUNK_ELEMENTS = 1 << 30
+# Score-buffer budget per chunk in f32 elements (Q * chunk <= this).
+# The peak per chunk is ~3x this buffer: the int32 fs matmul output and
+# the f32 const_part are same-shaped intermediates that XLA materializes
+# alongside the final score (ADVICE r2), so 2^28 elements = 1 GB buffer
+# => ~3 GB peak, leaving room on a 16 GB v5e for codes + raw vectors +
+# the candidate gather even at 1M x 1024-dim.  (100k rows x <=2048-query
+# sub-batches still scan as a single chunk.)
+CHUNK_ELEMENTS = 1 << 28
 MIN_CHUNK = 1 << 15
 # Chunks are unrolled as static slices inside the jit (one final merge,
 # no sequential carry chain); beyond this count the equal-size chunks
@@ -70,9 +74,15 @@ MAX_UNROLL = 32
 
 class ScanArrays(NamedTuple):
     """Device-resident folded constants for the scan (built once per
-    calibration; see fold_node_constants)."""
+    calibration; see fold_node_constants).
 
-    codes_i8: jax.Array   # (N_pad, P) int8 code levels
+    Codes are stored PACKED as uint32 bit-planes — bits*P/8 bytes per
+    vector, the reference's code-memory contract
+    (core/codes.hpp:96-135) — and unpacked per chunk right before the
+    MXU contraction (ops/pack.unpack_codes_i8); the unpacked int8 tile
+    is a transient chunk-sized intermediate, never at-rest state."""
+
+    planes: jax.Array     # (N_pad, B, W) uint32 packed code bit-planes
     node_aux: jax.Array   # (6, N_pad) f32: [nop^2(+pad), nop, g*wpc, g, g*ip_cp, g]
     raw: jax.Array        # (N_pad, P) f32 zero-padded raw vectors
     norm_sq: jax.Array    # (N_pad,)
@@ -156,8 +166,14 @@ def _query_side(qpad, signs, affine_a, affine_b, kappa):
     return qc, w_fs, y_aux
 
 
-def _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux):
-    """(Q, chunk) folded ranking scores for one code chunk."""
+def _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p):
+    """(Q, chunk) folded ranking scores for one packed code chunk.
+
+    fs = <q_u, sum_b 2^(B-1-b) plane_b> — the plane recombination happens
+    in the int8 unpack (one fused elementwise kernel) so ONE int8 matmul
+    covers every bit width; the reference's per-plane scan + weighted sum
+    (fastscan_kernel.hpp:197-217) collapses into the unpack."""
+    codes_c = pack.unpack_codes_i8(planes_c, p)
     fs = jax.lax.dot_general(
         q_u_i8,
         codes_c,
@@ -217,7 +233,7 @@ def scan_search(
     are jit ARGUMENTS (never closure captures: the remote backend
     serializes captures into every compile request).
     """
-    n_pad, p = arrays.codes_i8.shape
+    n_pad, p = arrays.raw.shape
     assert n_eq * chunk + rem == n_pad
     qpad = hadamard.pad_to(queries.astype(jnp.float32), p)
     qnorm = jnp.sum(qpad * qpad, axis=-1)
@@ -225,18 +241,18 @@ def scan_search(
     q_u_i8 = qc.q_u.astype(jnp.int8)
 
     if n_eq == 1 and rem == 0:
-        score = _chunk_scores(arrays.codes_i8, arrays.node_aux, q_u_i8,
-                              w_fs, y_aux)
+        score = _chunk_scores(arrays.planes, arrays.node_aux, q_u_i8,
+                              w_fs, y_aux, p)
         _, cand_ids = _select(score, top_c, exact_select)
     else:
         parts_neg, parts_ids = [], []
 
         def one_chunk(start, size):
-            codes_c = jax.lax.slice_in_dim(arrays.codes_i8, start,
-                                           start + size, axis=0)
+            planes_c = jax.lax.slice_in_dim(arrays.planes, start,
+                                            start + size, axis=0)
             aux_c = jax.lax.slice_in_dim(arrays.node_aux, start,
                                          start + size, axis=1)
-            score = _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux)
+            score = _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
             neg, idx = _select(score, top_c, exact_select)
             return neg, idx.astype(jnp.int32) + start
 
@@ -246,18 +262,21 @@ def scan_search(
                 parts_neg.append(neg)
                 parts_ids.append(ids)
         else:
-            codes = arrays.codes_i8[: n_eq * chunk].reshape(n_eq, chunk, p)
+            b, w = arrays.planes.shape[1:]
+            planes = arrays.planes[: n_eq * chunk].reshape(
+                n_eq, chunk, b, w
+            )
             aux = (arrays.node_aux[:, : n_eq * chunk]
                    .reshape(6, n_eq, chunk).transpose(1, 0, 2))
             bases = jnp.arange(n_eq, dtype=jnp.int32) * chunk
 
             def body(_, xs):
-                codes_c, aux_c, base = xs
-                score = _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux)
+                planes_c, aux_c, base = xs
+                score = _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
                 neg, idx = _select(score, top_c, exact_select)
                 return None, (neg, idx.astype(jnp.int32) + base)
 
-            _, (neg_s, ids_s) = jax.lax.scan(body, None, (codes, aux, bases))
+            _, (neg_s, ids_s) = jax.lax.scan(body, None, (planes, aux, bases))
             q = qpad.shape[0]
             parts_neg.append(neg_s.transpose(1, 0, 2).reshape(q, -1))
             parts_ids.append(ids_s.transpose(1, 0, 2).reshape(q, -1))
@@ -283,7 +302,7 @@ def scan_search(
 
 def calibrate_scan_affine(
     raw: jax.Array,
-    codes_u: jax.Array,
+    planes: jax.Array,
     nop: jax.Array,
     ip_qo: jax.Array,
     ip_cp: jax.Array,
@@ -312,7 +331,7 @@ def calibrate_scan_affine(
 
     qvecs = raw[jnp.asarray(q_ids)]
     qc = quantize.encode_queries(qvecs, signs)
-    codes = codes_u[jnp.asarray(x_ids)].astype(jnp.int32)
+    codes = pack.unpack_planes(planes[jnp.asarray(x_ids)], raw.shape[1])
     fs = jnp.einsum("sp,sp->s", qc.q_u, codes)
     kappa = float((1 << bits) - 1)
     ip_approx = estimate.ip_from_fastscan(
@@ -410,14 +429,14 @@ def _rank_counts(
 ):
     """Per (query, true neighbor): #nodes whose est score <= that
     neighbor's est score = the candidate-list size needed to capture it."""
-    n_pad, p = arrays.codes_i8.shape
+    n_pad, p = arrays.raw.shape
     qc, w_fs, y_aux = _query_side(qpad, signs, affine_a, affine_b, kappa)
     q_u_i8 = qc.q_u.astype(jnp.int8)
 
-    # est score of each true neighbor: gather code rows + aux columns.
-    codes_t = arrays.codes_i8[true_ids]                       # (Q, T, P)
+    # est score of each true neighbor: gather packed code rows + aux cols.
+    codes_t = pack.unpack_planes(arrays.planes[true_ids], p)  # (Q, T, P)
     fs_t = jnp.einsum(
-        "qtp,qp->qt", codes_t.astype(jnp.int32), qc.q_u.astype(jnp.int32)
+        "qtp,qp->qt", codes_t, qc.q_u.astype(jnp.int32)
     ).astype(jnp.float32)
     aux_t = arrays.node_aux[:, true_ids]                      # (6, Q, T)
     const_t = jnp.einsum("qa,aqt->qt", y_aux, aux_t[:5])
@@ -428,11 +447,11 @@ def _rank_counts(
     max_rows = max(256, (1 << 30) // max(q * t, 1))
     counts = jnp.zeros(est_t.shape, jnp.int32)
     for start, size in _chunk_slices(n_pad, max_rows):
-        codes_c = jax.lax.slice_in_dim(arrays.codes_i8, start,
-                                       start + size, axis=0)
+        planes_c = jax.lax.slice_in_dim(arrays.planes, start,
+                                        start + size, axis=0)
         aux_c = jax.lax.slice_in_dim(arrays.node_aux, start,
                                      start + size, axis=1)
-        score = _chunk_scores(codes_c, aux_c, q_u_i8, w_fs, y_aux)
+        score = _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
         counts = counts + jnp.sum(
             score[:, None, :] <= est_t[:, :, None], axis=2, dtype=jnp.int32
         )

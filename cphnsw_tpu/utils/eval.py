@@ -107,15 +107,20 @@ def _maybe_profile(profile_dir: str | os.PathLike | None):
 
 def _timed_passes(search, queries, n_runs, profile_dir=None):
     """One untimed warmup (covers jit compilation), then n_runs timed
-    passes; returns (ids from the first timed pass, per-pass seconds)."""
+    passes; returns (ids from the first timed pass, per-pass seconds).
+
+    When profiling is requested, the traced pass runs as a SEPARATE extra
+    pass before the timed loop so trace overhead never contaminates the
+    QPS / latency statistics."""
     search(queries)
+    if profile_dir or os.environ.get("CPHNSW_PROFILE_DIR"):
+        with _maybe_profile(profile_dir):
+            search(queries)
     seconds, first_ids = [], None
-    for i in range(max(n_runs, 1)):
-        ctx = _maybe_profile(profile_dir) if i == 0 else contextlib.nullcontext()
-        with ctx:
-            begin = time.perf_counter()
-            ids = search(queries)
-            seconds.append(time.perf_counter() - begin)
+    for _ in range(max(n_runs, 1)):
+        begin = time.perf_counter()
+        ids = search(queries)
+        seconds.append(time.perf_counter() - begin)
         if first_ids is None:
             first_ids = ids
     return first_ids, seconds

@@ -51,7 +51,8 @@ def mm(qq, codes):
 
 
 for rows in (1024, 16384, 100096):
-    codes = arrays.codes_i8[:rows]
+    from cphnsw_tpu.ops import pack as _pack
+    codes = _pack.unpack_codes_i8(arrays.planes[:rows], arrays.raw.shape[1])
     codes.block_until_ready()
     t = med(lambda: mm(q_i8, codes).block_until_ready())
     print(f"int8 matmul 1024x128x{rows:6d}: {t:7.2f} ms")

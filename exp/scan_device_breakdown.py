@@ -38,7 +38,7 @@ def main():
 
     from cphnsw_tpu.ops import hadamard
 
-    p = arrays.codes_i8.shape[1]
+    p = arrays.raw.shape[1]
 
     @jax.jit
     def qside(q):
@@ -51,14 +51,14 @@ def main():
 
     @jax.jit
     def scores_only(q_u_i8, w_fs, y_aux):
-        return scan._chunk_scores(arrays.codes_i8, arrays.node_aux, q_u_i8, w_fs, y_aux)
+        return scan._chunk_scores(arrays.planes, arrays.node_aux, q_u_i8, w_fs, y_aux, p)
 
     s = scores_only(q_u_i8, w_fs, y_aux)
     print(f"scores (matmul+aux):{med(lambda: scores_only(q_u_i8, w_fs, y_aux).block_until_ready()):7.1f} ms")
 
     @partial(jax.jit, static_argnames=("tc", "exact"))
     def score_select(q_u_i8, w_fs, y_aux, tc, exact=False):
-        sc = scan._chunk_scores(arrays.codes_i8, arrays.node_aux, q_u_i8, w_fs, y_aux)
+        sc = scan._chunk_scores(arrays.planes, arrays.node_aux, q_u_i8, w_fs, y_aux, p)
         return scan._select(sc, tc, exact)[1]
 
     for tc in (32, 128, 384):

@@ -41,7 +41,7 @@ def main():
 
     q_dev = jax.device_put(queries)
     q_dev.block_until_ready()
-    n_pad = idx._arrays.codes_i8.shape[0]
+    n_pad = idx._arrays.raw.shape[0]
     chunk, n_eq, rem = scan.chunk_plan(n_pad, nq)
     top_c = idx._budget.top_c(10, n)
     aff_a, aff_b, n_sc = idx._dev_scalars

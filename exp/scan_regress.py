@@ -89,10 +89,11 @@ aff_b = jnp.asarray(idx._affine_b, jnp.float32)
 
 @jax.jit
 def scanidx_scores(qin):
-    qpad = hadamard.pad_to(qin.astype(jnp.float32), arr.codes_i8.shape[1])
+    qpad = hadamard.pad_to(qin.astype(jnp.float32), arr.raw.shape[1])
     qc, w_fs, y_aux = scan._query_side(qpad, idx._signs, aff_a, aff_b, kk)
     return scan._chunk_scores(
-        arr.codes_i8, arr.node_aux, qc.q_u.astype(jnp.int8), w_fs, y_aux
+        arr.planes, arr.node_aux, qc.q_u.astype(jnp.int8), w_fs, y_aux,
+        arr.raw.shape[1],
     )[:, :N]
 
 
@@ -150,7 +151,7 @@ ids_t = timeit(tune_full, qj, 100, label="tune full top_c=100")
 rec = (np.asarray(ids_t[0])[:, :, None] == gt[:, None, :]).any(-1).mean()
 print(f"tune full recall={rec:.4f}", flush=True)
 
-chunk, n_eq, rem = scan.chunk_plan(arr.codes_i8.shape[0], Q)
+chunk, n_eq, rem = scan.chunk_plan(arr.raw.shape[0], Q)
 ids_s = timeit(
     scan.scan_search, arr, qj, idx._signs, aff_a, aff_b,
     jnp.asarray(N), kk, K, 128, chunk, n_eq, rem,

@@ -163,55 +163,3 @@ def test_beam_hash_visited_quality(small_index, rng):
             v = row[row >= 0]
             assert len(np.unique(v)) == len(v)
     assert recalls[11] >= recalls[0] - 0.03, recalls
-
-
-@pytest.mark.parametrize("bits", [1, 2])
-def test_fused_step_matches_xla(bits, rng):
-    """The fused Pallas gather+score path must reproduce the XLA path
-    results (interpret mode on CPU).  Requires R=32 and padded dim >= 64
-    (the kernel's layout contract)."""
-    import functools
-
-    import cphnsw_tpu.ops.fused_step as fs
-    import cphnsw_tpu.search.beam as beam_mod
-
-    rng2 = np.random.default_rng(17)
-    n, dim = 1200, 64
-    centers = rng2.standard_normal((16, dim)).astype(np.float32) * 4.0
-    x = centers[rng2.integers(0, 16, n)] + rng2.standard_normal(
-        (n, dim)
-    ).astype(np.float32)
-    p = hadamard.next_pow2(dim)
-    signs = hadamard.rotation_signs(42, p)
-    raw = jnp.asarray(x)
-    norm_sq = jnp.sum(raw * raw, -1)
-    node_nop = jnp.linalg.norm(raw - raw.mean(0), axis=-1)
-    res = build.build_graph(raw, norm_sq, node_nop, signs, bits=bits, r=32)
-    profile = calib_mod.IndexProfile.derive(n, p, 32, bits)
-    snap = calib_mod.calibrate(
-        res.raw, res.norm_sq, res.neighbors, signs, bits, profile
-    )
-    params = calib_mod.to_search_params(snap)
-
-    queries = x[rng.choice(len(x), 16, replace=False)]
-    cands = np.unique(np.concatenate(
-        [[res.entry_point],
-         np.random.default_rng(7).choice(n, 128, replace=False)]
-    )).astype(np.int32)
-    common = dict(bits=bits, k=10, beam_cap=64, max_steps=60,
-                  expand_width=4)
-    orig = fs.fused_score
-    try:
-        fs.fused_score = functools.partial(orig, interpret=True)
-        ids_x, d_x = beam_mod.search_batch(
-            res.raw, res.norm_sq, res.neighbors, jnp.asarray(cands), signs,
-            jnp.asarray(queries), params, use_pallas=False, **common)
-        ids_p, d_p = beam_mod.search_batch(
-            res.raw, res.norm_sq, res.neighbors, jnp.asarray(cands), signs,
-            jnp.asarray(queries), params, use_pallas=True, **common)
-        np.testing.assert_array_equal(np.asarray(ids_x), np.asarray(ids_p))
-        np.testing.assert_allclose(
-            np.asarray(d_x), np.asarray(d_p), rtol=1e-5
-        )
-    finally:
-        fs.fused_score = orig

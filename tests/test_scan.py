@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from cphnsw_tpu.api.scan_index import ScanIndex
-from cphnsw_tpu.ops import estimate, hadamard, quantize
+from cphnsw_tpu.ops import estimate, hadamard, pack, quantize
 from cphnsw_tpu.search import scan
 
 
@@ -44,7 +44,7 @@ def test_folded_score_matches_reference_algebra(rng):
     cbar = (2.0 * enc.u.astype(jnp.float32) - kappa) / kappa
     ip_cp = cbar @ hadamard.rotate(centroid, signs) / jnp.sqrt(float(p))
     wpc = enc.u.sum(axis=-1).astype(jnp.int32)
-    codes_i8 = enc.u.astype(jnp.int8)
+    planes = pack.pack_planes(enc.u, bits)
 
     a, b, floor = 1.07, -0.03, float(np.quantile(np.asarray(enc.ip_qo), 0.02))
     n = raw.shape[0]
@@ -59,12 +59,12 @@ def test_folded_score_matches_reference_algebra(rng):
     qpad = hadamard.pad_to(queries, p)
     qc, w_fs, y_aux = scan._query_side(qpad, signs, a, b, kappa)
     folded = scan._chunk_scores(
-        codes_i8, node_aux, qc.q_u.astype(jnp.int8), w_fs, y_aux
+        planes, node_aux, qc.q_u.astype(jnp.int8), w_fs, y_aux, p
     )
 
     # unfolded path (ops/estimate.py, the same algebra the beam search uses)
     fs = jax.lax.dot_general(
-        qc.q_u, codes_i8.astype(jnp.int32),
+        qc.q_u, enc.u,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
@@ -104,10 +104,27 @@ def test_scan_index_recall(rng, bits):
     assert np.all(np.diff(dists, axis=1) >= -1e-5)
 
 
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_code_memory_matches_reference(rng, bits):
+    """At-rest code memory must equal the reference's bits*P/8 bytes per
+    vector (core/codes.hpp:96-135) — the 'equal code memory' north star."""
+    base, idx = _build(rng, n=1000, dim=64, bits=bits)
+    n_pad = idx._arrays.raw.shape[0]
+    p = idx._arrays.raw.shape[1]
+    assert idx._arrays.planes.dtype == jnp.uint32
+    code_bytes = idx._arrays.planes.size * 4
+    assert code_bytes == n_pad * bits * p // 8
+    # packed codes scored identically to the unpacked ints they encode
+    u = pack.unpack_planes(idx._arrays.planes, p)
+    assert int(jnp.max(u)) <= (1 << bits) - 1
+    u8 = pack.unpack_codes_i8(idx._arrays.planes, p)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u8))
+
+
 def test_chunked_equals_unchunked(rng):
     base, idx = _build(rng, n=3000, dim=32, bits=2)
     queries = make_clustered(rng, n=64, dim=32)
-    n_pad = idx._arrays.codes_i8.shape[0]
+    n_pad = idx._arrays.raw.shape[0]
 
     kw = dict(
         signs=idx._signs,

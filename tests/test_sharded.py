@@ -165,6 +165,71 @@ def test_sharded_pad_rows_masked(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_scan_equals_single_chip(rng):
+    """The sharded scan (per-chip scan + all-gather top-k merge) must
+    reproduce the single-chip ScanIndex result: per-shard top-k lists are
+    exact within their shard, so the merge is lossless."""
+    from cphnsw_tpu.api.scan_index import ScanIndex
+
+    n, dim = 2000, 24
+    centers = rng.standard_normal((12, dim)).astype(np.float32) * 4.0
+    x = centers[rng.integers(0, 12, n)] + rng.standard_normal(
+        (n, dim)
+    ).astype(np.float32)
+    single = ScanIndex(dim, bits=1).build(x).finalize()
+    queries = x[rng.choice(n, 32, replace=False)] + 0.01
+    ids_1, d_1 = single.search_batch(queries, k=10)
+
+    mesh = sharded.make_mesh(2, 4)
+    idx = sharded.ShardedScanIndex(dim, bits=1)
+    idx._inner = single  # reuse the finalized single-chip build
+    idx._attach(mesh)
+    ids_s, d_s = idx.search_batch(queries, k=10)
+    np.testing.assert_array_equal(ids_s, ids_1)
+    np.testing.assert_allclose(d_s, d_1, rtol=1e-5)
+
+    # arbitrary (non-data-axis-multiple) query counts work
+    ids_odd, _ = idx.search_batch(queries[:7], k=10)
+    np.testing.assert_array_equal(ids_odd, ids_1[:7])
+
+    # pad rows (store_pad(2000) > 2000, all in the last shard) never leak
+    assert (ids_s < n).all()
+
+    # k > n pads like the reference bindings
+    ids_big, d_big = idx.search_batch(queries[:4], k=2005)
+    assert ids_big.shape == (4, 2005)
+    assert (ids_big[:, n:] == -1).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_scan_save_load(rng, tmp_path):
+    from cphnsw_tpu.api.scan_index import ScanIndex
+
+    n, dim = 1200, 16
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    mesh = sharded.make_mesh(2, 4)
+    idx = sharded.ShardedScanIndex(dim, bits=2).build(x, mesh)
+    queries = x[rng.choice(n, 16, replace=False)]
+    ids_a, d_a = idx.search_batch(queries, k=5)
+
+    path = tmp_path / "sharded_scan.npz"
+    idx.save(path)
+    # the saved file is a plain ScanIndex snapshot: single-chip loadable.
+    # Per-shard top-c selection is a SUPERSET of the global top-c (any
+    # node in the global estimate top-c is also in its own shard's), so
+    # the sharded result can only be equal or better — never worse.
+    single = ScanIndex(dim, bits=2).load(path)
+    ids_1, d_1 = single.search_batch(queries, k=5)
+    assert (d_a <= d_1 + 1e-5).all()
+    assert (ids_a == ids_1).mean() > 0.9
+
+    loaded = sharded.ShardedScanIndex(dim, bits=2).load(path, mesh)
+    ids_b, d_b = loaded.search_batch(queries, k=5)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_index_save_load(rng, tmp_path):
     n, dim = 900, 16
     x = rng.standard_normal((n, dim)).astype(np.float32)
