@@ -73,7 +73,15 @@ def main(argv=None) -> int:
 
     cfg = read_config(opts.config)
     wanted = cfg["data"]["dataset"]
-    names = ds_mod.ALL_DATASETS if wanted == "all" else [wanted]
+    if wanted == "all":
+        names = ds_mod.ALL_DATASETS
+    elif isinstance(wanted, list):
+        names = list(wanted)
+    elif isinstance(wanted, str) and "," in wanted:
+        # the YAML-less fallback parser leaves "[a, b]" as one string
+        names = [t.strip() for t in wanted.strip("[]").split(",") if t.strip()]
+    else:
+        names = [wanted]
 
     for name in names:
         emit("benchmark_start", dataset=name)
