@@ -207,7 +207,7 @@ class Index:
             qnorm = jnp.sum(qpad * qpad, -1)
             entry = ul.greedy_descend(
                 self._upper, self._raw, self._norm_sq, qpad, qnorm
-            )[:, None]
+            )
 
         # pad the query batch to a power-of-two row count so jit compiles
         # once per bucket instead of once per caller batch size

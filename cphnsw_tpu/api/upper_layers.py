@@ -9,9 +9,21 @@ TPU-native construction: instead of the reference's sequential per-node
 insertion (greedy descent + ef-limited search + alpha-CNG per inserted
 node, :566-613), each level's graph is built with the SAME batched
 NNDescent + alpha-CNG machinery used for layer 0, over the level's node
-subset.  Functionally both produce a navigable proximity graph per level;
-ours is one batched program per level instead of n_upper sequential
-searches.
+subset, followed by the two properties the reference's insertion loop
+provides implicitly and NNDescent does not:
+
+  * bidirectional edges — a reverse-edge pass merges each node's
+    incoming edges into its candidate set and re-prunes with alpha-CNG
+    (the batched analog of the reference's bidirectional insert +
+    prune_upper_neighbors, :601-607, :693-716);
+  * navigability from the entry — undirected connected components are
+    computed on the host and every minor component is bridged to the
+    main one through its globally nearest cross-component pair (the
+    insertion loop never creates disconnected upper graphs; NNDescent
+    on clustered data can).
+
+Functionally both produce a navigable proximity graph per level; ours is
+one batched program per level instead of n_upper sequential searches.
 
 Query-time greedy descent (:617-638) runs as a batched while_loop: one
 iteration gathers every query's current neighbor list, exact-scores it with
@@ -62,6 +74,59 @@ class UpperLayers(NamedTuple):
     entry_global: int        # global id of the single top-level entry
 
 
+def _bridge_components(sub_raw, sub_norm, sel) -> jax.Array:
+    """Connect every minor undirected component of the level graph to the
+    main one through its nearest cross-component pair (both directions).
+
+    The reference's insertion build cannot produce disconnected upper
+    graphs (every insert links to already-reachable nodes,
+    hnsw_index.hpp:566-613); NNDescent on well-separated clusters can —
+    and a disconnected upper layer silently strands greedy descent.  The
+    bridge edge replaces each endpoint's worst (last) slot.
+    """
+    sel_np = np.array(sel)  # writable host copy
+    n_l, deg = sel_np.shape
+    comp = np.full(n_l, -1, np.int64)
+    n_comp = 0
+    for start in range(n_l):
+        if comp[start] >= 0:
+            continue
+        frontier = np.array([start])
+        comp[start] = n_comp
+        while frontier.size:
+            # undirected: out-edges plus in-edges of the frontier
+            out = sel_np[frontier].ravel()
+            out = out[out >= 0]
+            inc = np.where(np.isin(sel_np, frontier).any(axis=1))[0]
+            nxt = np.unique(np.concatenate([out, inc]))
+            nxt = nxt[comp[nxt] < 0]
+            comp[nxt] = n_comp
+            frontier = nxt
+        n_comp += 1
+    if n_comp == 1:
+        return sel
+
+    sizes = np.bincount(comp)
+    main = int(sizes.argmax())
+    raw_h = np.asarray(sub_raw)
+    norm_h = np.asarray(sub_norm)
+    main_idx = np.where(comp == main)[0]
+    for c in range(n_comp):
+        if c == main:
+            continue
+        idx = np.where(comp == c)[0]
+        d = (
+            norm_h[idx][:, None]
+            + norm_h[main_idx][None, :]
+            - 2.0 * raw_h[idx] @ raw_h[main_idx].T
+        )
+        i, j = np.unravel_index(np.argmin(d), d.shape)
+        a, b = int(idx[i]), int(main_idx[j])
+        sel_np[a, deg - 1] = b
+        sel_np[b, deg - 1] = a
+    return jnp.asarray(sel_np)
+
+
 def build_upper_layers(
     raw: jax.Array,
     norm_sq: jax.Array,
@@ -95,15 +160,29 @@ def build_upper_layers(
                 full[i, : len(others)] = others
             sel = jnp.asarray(full)
         else:
+            from cphnsw_tpu.graph import build as gbuild
+
             wg = nndescent.run_adaptive(
                 sub_raw, sub_norm, deg, seed=seed + 100 + lvl
             )
-            ci, cd = pruning.prepare_candidates(wg.ids, wg.dists)
-            pd = pruning.candidate_pair_dists(sub_raw, sub_norm, ci)
-            sel, _ = pruning.select_alpha_cng(
-                ci, cd, pd, jnp.zeros_like(cd),
-                jnp.float32(1.2), jnp.float32(0.0), jnp.float32(2.4), deg,
+
+            def _prune(ids, dists):
+                ci, cd = pruning.prepare_candidates(ids, dists)
+                pd = pruning.candidate_pair_dists(sub_raw, sub_norm, ci)
+                return pruning.select_alpha_cng(
+                    ci, cd, pd, jnp.zeros_like(cd),
+                    jnp.float32(1.2), jnp.float32(0.0), jnp.float32(2.4),
+                    deg,
+                )
+
+            sel, sel_d = _prune(wg.ids, wg.dists)
+            # bidirectional pass: merge reverse edges, re-prune
+            rev_i, rev_d = gbuild._reverse_candidates(sel, sel_d, 2 * deg)
+            sel, sel_d = _prune(
+                jnp.concatenate([sel, rev_i], axis=1),
+                jnp.concatenate([sel_d, rev_d], axis=1),
             )
+            sel = _bridge_components(sub_raw, sub_norm, sel)
         lm = np.full(n, -1, np.int32)
         lm[subset] = np.arange(n_l, dtype=np.int32)
         node_ids.append(jnp.asarray(subset))
@@ -122,7 +201,7 @@ def build_upper_layers(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=("max_iters", "ef"))
 def greedy_descend(
     upper: UpperLayers,
     raw: jax.Array,
@@ -130,29 +209,41 @@ def greedy_descend(
     qpad: jax.Array,
     qnorm: jax.Array,
     max_iters: int = 32,
+    ef: int = 8,
 ):
-    """Greedy descent through all levels; returns (Q,) global entry ids for
-    layer 0 (hnsw_index.hpp:197-201 + :617-638), batched over queries."""
+    """Beam descent through all levels; returns (Q, ef) global entry ids
+    for layer 0 (hnsw_index.hpp:197-201 + :617-638), batched over queries.
+
+    ef > 1 carries the ef best nodes per level instead of a single greedy
+    walker (each step expands every carried node's neighbor list with one
+    gathered matmul and keeps the top-ef of the union).  The reference
+    descends with ef=1 at query time; on well-separated clusters a single
+    walker strands in the entry's cluster (the reference measures ~0.43
+    recall on such data) — a tiny beam costs one extra gather per level
+    and repairs that failure mode, so the divergence is deliberate.
+    """
     q = qpad.shape[0]
-    cur_global = jnp.full((q,), upper.entry_global, jnp.int32)
+    cur_global = jnp.full((q, 1), upper.entry_global, jnp.int32)
+    cur_d = (
+        qnorm[:, None]
+        + norm_sq[cur_global]
+        - 2.0
+        * jnp.einsum("qp,qep->qe", qpad, raw[cur_global],
+                     precision=jax.lax.Precision.HIGHEST)
+    )
 
     for lvl in range(len(upper.node_ids) - 1, -1, -1):
         ids_l = upper.node_ids[lvl]
         nbrs_l = upper.nbr_idx[lvl]
         lm = upper.local_of_global[lvl]
+        e = cur_global.shape[1]
 
         cur_local = lm[cur_global]          # guaranteed present (nested)
-        cur_d = (
-            qnorm
-            + norm_sq[cur_global]
-            - 2.0
-            * jnp.einsum("qp,qp->q", qpad, raw[cur_global],
-                         precision=jax.lax.Precision.HIGHEST)
-        )
 
         def body(state):
             cur_local, cur_d, improved, it = state
-            nb = nbrs_l[cur_local]                       # (Q, M) local
+            nb = nbrs_l[cur_local]                       # (Q, e, M) local
+            nb = nb.reshape(q, -1)
             nb_safe = jnp.maximum(nb, 0)
             nb_global = ids_l[nb_safe]
             d = (
@@ -163,20 +254,37 @@ def greedy_descend(
                              precision=jax.lax.Precision.HIGHEST)
             )
             d = jnp.where(nb < 0, jnp.inf, d)
-            j = jnp.argmin(d, axis=1)
-            best_d = jnp.take_along_axis(d, j[:, None], 1)[:, 0]
-            better = best_d < cur_d
-            cur_local = jnp.where(
-                better, jnp.take_along_axis(nb_safe, j[:, None], 1)[:, 0],
-                cur_local,
+            # dedup within the union (keep first occurrence)
+            cat_l = jnp.concatenate([cur_local, nb_safe], axis=1)
+            cat_d = jnp.concatenate([cur_d, d], axis=1)
+            same = cat_l[:, :, None] == cat_l[:, None, :]
+            earlier = (
+                jnp.arange(cat_l.shape[1])[None, :, None]
+                > jnp.arange(cat_l.shape[1])[None, None, :]
             )
-            cur_d = jnp.where(better, best_d, cur_d)
-            return cur_local, cur_d, better.any(), it + 1
+            dup = (same & earlier).any(-1)
+            cat_d = jnp.where(dup, jnp.inf, cat_d)
+            neg_top, sel = jax.lax.top_k(-cat_d, cur_local.shape[1])
+            new_local = jnp.take_along_axis(cat_l, sel, axis=1)
+            new_d = -neg_top
+            better = new_d[:, 0] < cur_d[:, 0]
+            return new_local, new_d, better.any(), it + 1
 
         def cond(state):
             _, _, improved, it = state
             return improved & (it < max_iters)
 
+        # widen the carried beam to ef once the level is large enough
+        width = min(ef, int(ids_l.shape[0]))
+        if e < width:
+            pad = width - e
+            cur_local = jnp.concatenate(
+                [cur_local, jnp.repeat(cur_local[:, :1], pad, axis=1)],
+                axis=1,
+            )
+            cur_d = jnp.concatenate(
+                [cur_d, jnp.full((q, pad), jnp.inf)], axis=1
+            )
         cur_local, cur_d, _, _ = jax.lax.while_loop(
             cond, body, (cur_local, cur_d, jnp.bool_(True), jnp.int32(0))
         )

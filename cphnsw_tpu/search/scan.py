@@ -67,9 +67,13 @@ APPROX_RECALL = 0.9
 CHUNK_ELEMENTS = 1 << 28
 MIN_CHUNK = 1 << 15
 # Chunks are unrolled as static slices inside the jit (one final merge,
-# no sequential carry chain); beyond this count the equal-size chunks
-# roll into a lax.scan that stacks per-chunk candidates instead.
-MAX_UNROLL = 32
+# no sequential carry chain) only up to this count; beyond it the
+# equal-size chunks roll into a lax.scan that stacks per-chunk
+# candidates.  Kept small deliberately: unrolled chunk programs have no
+# data dependence, so XLA runs them concurrently and their ~3x
+# score-buffer peaks ADD (at 1M x 1024d each chunk peaks ~3 GB — four
+# unrolled chunks OOM a 16 GB chip that one scanned chunk sails through).
+MAX_UNROLL = 2
 
 
 class ScanArrays(NamedTuple):
@@ -185,14 +189,64 @@ def _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p):
     return const_part + (w_fs[:, None] * g_c[None, :]) * fs.astype(jnp.float32)
 
 
+# Gathered-candidate f32 elements per rerank piece (Q * piece * P): the
+# (Q, C, P) gather at large C and P would dominate HBM (e.g. 1M/960d at
+# k=100 derives C in the thousands -> an 8 GB gather); chunking candidates
+# with a running top-k merge bounds it at ~1 GB.
+RERANK_ELEMENTS = 1 << 28
+
+
 def _rerank(raw, norm_sq, qpad, qnorm, cand_ids, n, k):
-    """Exact-L2 rerank of gathered candidates; pad candidates -> FLOAT_MAX."""
-    cand_vecs = raw[cand_ids]                                  # (Q, C, P)
-    cand_norms = norm_sq[cand_ids]
-    exact = estimate.exact_l2_sq(qpad, qnorm, cand_vecs, cand_norms)
-    exact = jnp.where(cand_ids < n, exact, FLOAT_MAX)
-    neg_d, idx = jax.lax.top_k(-exact, k)
-    ids = jnp.take_along_axis(cand_ids, idx, axis=1)
+    """Exact-L2 rerank of gathered candidates; pad candidates -> FLOAT_MAX.
+
+    Candidates are processed in static pieces so the (Q, piece, P) gather
+    stays under RERANK_ELEMENTS; pieces merge through a carried top-k.
+    """
+    q, c = cand_ids.shape
+    p = raw.shape[1]
+    piece = max(k, RERANK_ELEMENTS // max(q * p, 1))
+
+    def exact_block(ids_blk):
+        vecs = raw[ids_blk]                                    # (Q, c_b, P)
+        norms = norm_sq[ids_blk]
+        exact = estimate.exact_l2_sq(qpad, qnorm, vecs, norms)
+        return jnp.where(ids_blk < n, exact, FLOAT_MAX)
+
+    if piece >= c:
+        exact = exact_block(cand_ids)
+        neg_d, idx = jax.lax.top_k(-exact, k)
+        ids = jnp.take_along_axis(cand_ids, idx, axis=1)
+    else:
+        # lax.scan (NOT an unrolled python loop): the piece gathers have
+        # no data dependence on each other, so unrolled XLA schedules
+        # them all concurrently — a dozen 1 GB gathers OOM the chip at
+        # 1M x 1024d.  scan's sequential carry bounds live memory to ~one
+        # piece.  Pad with an out-of-range id: the gather clamps, the
+        # n-mask prices it FLOAT_MAX, the final mask maps it to -1.
+        n_pieces = -(-c // piece)
+        pad_c = n_pieces * piece - c
+        ids_pad = cand_ids
+        if pad_c:
+            ids_pad = jnp.concatenate(
+                [cand_ids,
+                 jnp.full((q, pad_c), jnp.int32(2**30))], axis=1
+            )
+        blocks = ids_pad.reshape(q, n_pieces, piece).transpose(1, 0, 2)
+
+        def body(carry, blk):
+            best_neg, best_ids = carry
+            neg = -exact_block(blk)
+            cat_neg = jnp.concatenate([best_neg, neg], axis=1)
+            cat_ids = jnp.concatenate([best_ids, blk], axis=1)
+            best_neg, sel = jax.lax.top_k(cat_neg, k)
+            best_ids = jnp.take_along_axis(cat_ids, sel, axis=1)
+            return (best_neg, best_ids), None
+
+        (neg_d, ids), _ = jax.lax.scan(
+            body,
+            (jnp.full((q, k), -FLOAT_MAX), jnp.zeros((q, k), jnp.int32)),
+            blocks,
+        )
     ids = jnp.where(neg_d > -FLOAT_MAX, ids, -1)
     return ids, -neg_d
 

@@ -72,16 +72,27 @@ def test_save_load_roundtrip(built, rng, tmp_path):
     np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
 
 
-def test_save_load_roundtrip_ip_metric(rng, tmp_path):
+@pytest.fixture(scope="module")
+def built_ip():
+    """One finalized IP-metric graph index shared by the ip tests
+    (finalize dominates suite latency; the tests are read-only)."""
+    from cphnsw_tpu.api.index import Index
+
+    rng = np.random.default_rng(1234)
+    x = make_data(rng, n=3000, dim=24)
+    x *= rng.uniform(0.7, 1.4, size=(3000, 1)).astype(np.float32)
+    index = Index(dim=24, bits=1, metric="ip")
+    index.build(x)
+    index.finalize()
+    return index, x
+
+
+def test_save_load_roundtrip_ip_metric(built_ip, rng, tmp_path):
     """An IP-metric index must restore metric/_ip_norm_bound (reference
     save fully determines search behavior, hnsw_index.hpp:217-443)."""
     from cphnsw_tpu.api.index import Index
 
-    x = make_data(rng, n=800, dim=24)
-    x *= rng.uniform(0.7, 1.4, size=(800, 1)).astype(np.float32)
-    index = Index(dim=24, bits=1, metric="ip")
-    index.build(x)
-    index.finalize()
+    index, x = built_ip
     path = tmp_path / "ip.npz"
     index.save(path)
 
@@ -97,18 +108,46 @@ def test_save_load_roundtrip_ip_metric(rng, tmp_path):
         Index(dim=24, bits=1, metric="l2").load(path)
 
 
-def test_save_load_roundtrip_hnsw_entry(rng, tmp_path):
+def test_ip_metric(built_ip, rng):
+    index, x = built_ip
+    queries = rng.standard_normal((25, 24)).astype(np.float32)
+    ips = queries @ x.T
+    gt = np.argsort(-ips, axis=1)[:, :10]
+    ids, scores = index.search_batch(queries, k=10)
+    recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
+    assert recall > 0.78, f"ip recall@10={recall}"  # MIPS is harder than L2
+    # returned scores are the inner products, descending
+    rows = np.arange(len(queries))[:, None]
+    valid = ids >= 0
+    np.testing.assert_allclose(
+        scores[valid], ips[rows, np.maximum(ids, 0)][valid], rtol=1e-3,
+        atol=1e-3,
+    )
+    assert np.all(np.diff(np.where(valid, scores, -np.inf), axis=1) <= 1e-4)
+
+
+@pytest.fixture(scope="module")
+def built_hnsw():
+    """One finalized hnsw-entry index shared by the hnsw tests."""
+    from cphnsw_tpu.api.index import Index
+
+    rng = np.random.default_rng(1234)
+    x = make_data(rng, n=2200, dim=32)
+    index = Index(dim=32, bits=1, entry_strategy="hnsw")
+    index.build(x)
+    index.finalize()
+    return index, x
+
+
+def test_save_load_roundtrip_hnsw_entry(built_hnsw, rng, tmp_path):
     """hnsw-entry indexes must restore the upper-layer hierarchy."""
     from cphnsw_tpu.api.index import Index
 
-    x = make_data(rng, n=900, dim=16)
-    index = Index(dim=16, bits=1, entry_strategy="hnsw")
-    index.build(x)
-    index.finalize()
+    index, x = built_hnsw
     path = tmp_path / "hnsw.npz"
     index.save(path)
 
-    loaded = Index(dim=16, bits=1, entry_strategy="hnsw").load(path)
+    loaded = Index(dim=32, bits=1, entry_strategy="hnsw").load(path)
     assert (loaded._upper is None) == (index._upper is None)
     queries = x[rng.choice(len(x), 10, replace=False)]
     ids_a, d_a = index.search_batch(queries, k=5)
@@ -179,46 +218,19 @@ def test_engine_auto_selection(built, rng, tmp_path):
         CPIndex(dim=x.shape[1], bits=1, engine="scan").load(path)
 
 
-def test_hnsw_entry_strategy(rng):
-    from cphnsw_tpu.api.index import Index
-
-    x = make_data(rng, n=2200, dim=32)
-    index = Index(dim=32, bits=1, entry_strategy="hnsw")
-    index.build(x)
-    index.finalize()
+def test_hnsw_entry_strategy(built_hnsw, rng):
+    index, x = built_hnsw
     queries = x[rng.choice(len(x), 30, replace=False)]
     d = ((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1)
     gt = np.argsort(d, 1)[:, :10]
     ids, _ = index.search_batch(queries, k=10)
     recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
-    # hierarchical single-entry descent inherits the reference's fragility
-    # on clustered data (the measured reference scores ~0.43 here); the
-    # default seed-scan strategy reaches ~0.95.
-    assert recall > 0.75, f"hnsw-entry recall@10={recall}"
+    # Hierarchical descent inherits HNSW's fragility on well-separated
+    # clusters (the measured reference scores ~0.43 here).  The upper
+    # layers are built with bidirectional edges + component bridging and
+    # descended with a small beam (ef=8), which measures ~0.84; the
+    # default seed-scan strategy reaches ~0.95+.  Full measurement:
+    # PARITY.md "Upper layers".
+    assert recall > 0.8, f"hnsw-entry recall@10={recall}"
 
 
-def test_ip_metric(rng):
-    from cphnsw_tpu.api.index import Index
-
-    # clustered base with varied norms (unstructured uniform data makes the
-    # MIPS->L2 augmentation a near-uniform sphere, adversarial for ANY
-    # graph-ANN method — real embedding corpora are clustered)
-    x = make_data(rng, n=3000, dim=24)
-    x *= rng.uniform(0.7, 1.4, size=(3000, 1)).astype(np.float32)
-    index = Index(dim=24, bits=1, metric="ip")
-    index.build(x)
-    index.finalize()
-    queries = rng.standard_normal((25, 24)).astype(np.float32)
-    ips = queries @ x.T
-    gt = np.argsort(-ips, axis=1)[:, :10]
-    ids, scores = index.search_batch(queries, k=10)
-    recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
-    assert recall > 0.78, f"ip recall@10={recall}"  # MIPS is harder than L2
-    # returned scores are the inner products, descending
-    rows = np.arange(len(queries))[:, None]
-    valid = ids >= 0
-    np.testing.assert_allclose(
-        scores[valid], ips[rows, np.maximum(ids, 0)][valid], rtol=1e-3,
-        atol=1e-3,
-    )
-    assert np.all(np.diff(np.where(valid, scores, -np.inf), axis=1) <= 1e-4)

@@ -128,31 +128,46 @@ def test_search_determinism(rng):
     np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharded_index_facade(rng):
-    n, dim = 1600, 24
+@pytest.fixture(scope="module")
+def sharded_facade():
+    """One built ShardedIndex shared by the facade tests (each build runs
+    per-shard NNDescent + pooled calibration — the suite's heaviest
+    fixture).  n=1507 is deliberately not divisible by the 4 model shards
+    so the pad-row path is live in every test."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(1234)
+    n, dim = 1507, 24
     centers = rng.standard_normal((12, dim)).astype(np.float32) * 4.0
-    x = centers[rng.integers(0, 12, n)] + rng.standard_normal((n, dim)).astype(
-        np.float32
-    )
+    x = centers[rng.integers(0, 12, n)] + rng.standard_normal(
+        (n, dim)
+    ).astype(np.float32)
     mesh = sharded.make_mesh(2, 4)
     index = sharded.ShardedIndex(dim=dim, bits=1, r=16).build(x, mesh)
+    return index, x, mesh
+
+
+def test_sharded_index_facade(sharded_facade, rng):
+    index, x, _ = sharded_facade
+    n = len(x)
     queries = x[rng.choice(n, 32, replace=False)]
     d = ((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1)
     gt = np.argsort(d, 1)[:, :10]
     ids, dists = index.search_batch(queries, k=10)
     recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
     assert recall > 0.88, f"sharded facade recall@10={recall}"
+    # derived step budget is live (no hand cap)
+    assert index._step_budget and 16 <= index._step_budget[10] <= 512
+    # arbitrary (non-data-axis-multiple) query counts work
+    ids_odd, _ = index.search_batch(queries[:7], k=10)
+    np.testing.assert_array_equal(ids_odd, ids[:7])
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharded_pad_rows_masked(rng):
+def test_sharded_pad_rows_masked(sharded_facade, rng):
     """n not divisible by n_shards: shard-padding duplicates must never
     appear in results (no fabricated ids, no duplicate ids per row)."""
-    n, dim = 1507, 24  # 1507 % 4 != 0 -> 1 pad rows in the last shard
-    x = rng.standard_normal((n, dim)).astype(np.float32)
-    mesh = sharded.make_mesh(2, 4)
-    index = sharded.ShardedIndex(dim=dim, bits=1, r=16).build(x, mesh)
+    index, x, _ = sharded_facade
+    n = len(x)
     # query near the final vector so its pad duplicates are top candidates
     queries = np.concatenate(
         [x[-1:] + 0.01, x[rng.choice(n, 15, replace=False)]]
@@ -229,17 +244,15 @@ def test_sharded_scan_save_load(rng, tmp_path):
     np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharded_index_save_load(rng, tmp_path):
-    n, dim = 900, 16
-    x = rng.standard_normal((n, dim)).astype(np.float32)
-    mesh = sharded.make_mesh(2, 4)
-    index = sharded.ShardedIndex(dim=dim, bits=1, r=16).build(x, mesh)
+def test_sharded_index_save_load(sharded_facade, rng, tmp_path):
+    index, x, mesh = sharded_facade
+    dim = x.shape[1]
     path = tmp_path / "sharded.npz"
     index.save(path)
 
     loaded = sharded.ShardedIndex(dim=dim, bits=1, r=16).load(path, mesh)
-    queries = x[rng.choice(n, 16, replace=False)]
+    assert loaded._step_budget == index._step_budget
+    queries = x[rng.choice(len(x), 16, replace=False)]
     ids_a, d_a = index.search_batch(queries, k=5)
     ids_b, d_b = loaded.search_batch(queries, k=5)
     np.testing.assert_array_equal(ids_a, ids_b)

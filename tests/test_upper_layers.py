@@ -38,9 +38,10 @@ def test_build_and_descend_finds_good_entry(rng):
     entries = np.asarray(
         ul.greedy_descend(upper, raw, norm_sq, qpad, qnorm)
     )
+    assert entries.ndim == 2  # (Q, ef) beam of entry candidates
 
-    # the descent entry should be far closer than a random/hub entry
-    d_entry = ((queries - x[entries]) ** 2).sum(-1)
+    # the best descent entry should be far closer than a random/hub entry
+    d_entry = ((queries[:, None, :] - x[entries]) ** 2).sum(-1).min(1)
     d_all = ((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1)
     d_best = d_all.min(1)
     d_median = np.median(d_all, axis=1)
