@@ -46,17 +46,30 @@ FLOAT_MAX = jnp.finfo(jnp.float32).max
 # Pad-row sentinel added to scores via the node-constant channel: large
 # enough to rank last, small enough that (-score) stays finite.
 PAD_SCORE = 1e30
-# approx_max_k per-chunk recall target.  Its cost explodes toward a full
-# (Q, N) sort as the target approaches 1 (measured on v5e, Q=8192,
-# N=100k, top_c=400: rt 0.9 -> 86 ms, 0.95 -> 138 ms, 0.98 -> 260 ms,
-# 0.99 -> 566 ms, exact sort 900 ms), while its misses concentrate in the
-# candidate-list TAIL: an element at estimate-rank r is dropped only when
-# its reduction bin holds a better element (p ~ r / bins), so the true
-# top-k — which sit at the head — survive far above the nominal target
-# (same setup: end recall@10 0.9876 at rt=0.9 vs 0.9987 at rt=0.99, a 6.6x
-# QPS difference).  0.9 is the measured knee; the derived candidate
-# budget's safety margin (RANK_SAFETY) absorbs the residual head misses.
-APPROX_RECALL = 0.9
+# Final-stage approx_max_k recall target (only ever applied over the
+# already-reduced bin array, a few thousand wide, so its cost is small).
+APPROX_RECALL = 0.95
+# Candidate selection is a binned-minimum reduction (the same partial-
+# reduction idea as lax.approx_max_k, hand-fused so the bin reduce is a
+# PURE jnp.min that XLA fuses straight into the score epilogue instead
+# of a custom-call barrier): scores are mapped to order-preserving u32
+# keys, the bin-local group index is packed into the low GROUP_BITS of
+# each key, and one min over the group axis yields both the bin minimum
+# and (decoded from the low bits) its position — no variadic min+argmin
+# reduce, no per-chunk approx_max_k (measured on v5e at 1M x 128d,
+# Q=1024: per-chunk approx_max_k ~160 ms device vs ~30 ms for the fused
+# packed-key reduce; the score matmul itself is ~8 ms).
+#
+# Capture analysis (mirrors approx_max_k's): a candidate at estimate
+# rank r survives iff no better-scoring row lands in its bin,
+# p ~ 1 - r/bins, so with bins >= BIN_FACTOR * top_c the head of the
+# candidate list (the true top-k, r << top_c) survives with ~99%+ and
+# the derived budget's RANK_SAFETY absorbs the tail loss.
+GROUP_BITS = 8
+GROUP_MASK = jnp.uint32((1 << GROUP_BITS) - 1)
+SIGN_U32 = jnp.uint32(0x80000000)
+BIN_FACTOR = 8
+BINS_MIN = 1024
 # Score-buffer budget per chunk in f32 elements (Q * chunk <= this).
 # The peak per chunk is ~3x this buffer: the int32 fs matmul output and
 # the f32 const_part are same-shaped intermediates that XLA materializes
