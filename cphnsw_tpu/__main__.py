@@ -69,6 +69,10 @@ def main(argv=None) -> int:
         "--profile-dir", type=Path, default=None,
         help="capture a JAX profiler trace of the first timed pass",
     )
+    ap.add_argument(
+        "--engine", choices=("auto", "scan", "graph"), default="auto",
+        help="force the search engine (default: derived from store size)",
+    )
     opts = ap.parse_args(argv)
 
     cfg = read_config(opts.config)
@@ -93,6 +97,7 @@ def main(argv=None) -> int:
             output_dir=Path(cfg["run"]["output_dir"]),
             bit_widths=opts.bits,
             profile_dir=opts.profile_dir,
+            engine=opts.engine,
         )
         for case in report["results"]:
             emit(

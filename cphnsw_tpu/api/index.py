@@ -563,24 +563,33 @@ class CPIndex:
 
     _ENGINES = ("auto", "scan", "graph")
 
-    def __init__(self, dim: int, bits: int = 1, engine: str = "auto"):
+    def __init__(
+        self,
+        dim: int,
+        bits: int = 1,
+        engine: str = "auto",
+        metric: str = "l2",
+    ):
         if dim <= 0:
             raise ValueError("dim must be > 0")
         if bits not in (1, 2, 4):
             raise ValueError("bits must be one of {1, 2, 4}")
         if engine not in self._ENGINES:
             raise ValueError(f"engine must be one of {self._ENGINES}")
+        if metric not in ("l2", "ip"):
+            raise ValueError("metric must be 'l2' or 'ip'")
         self._dim = dim
         self._bits = bits
         self._engine_req = engine
+        self._metric = metric
         self._index = None
 
     def _make_engine(self, name: str):
         if name == "scan":
             from cphnsw_tpu.api.scan_index import ScanIndex
 
-            return ScanIndex(self._dim, self._bits)
-        return Index(self._dim, self._bits)
+            return ScanIndex(self._dim, self._bits, metric=self._metric)
+        return Index(self._dim, self._bits, metric=self._metric)
 
     @property
     def engine(self) -> str:

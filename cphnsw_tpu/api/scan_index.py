@@ -5,9 +5,9 @@ build / finalize / search / search_batch / save / load / size / dim /
 is_finalized, zero search-tuning parameters) over the full-database scan
 engine in search/scan.py.  On TPU this is the fastest operating point of
 the framework at the reference's benchmark scales (100k-1M): one MXU
-int8 contraction estimates every database distance, lax.approx_max_k
-selects candidates, and the exact-L2 rerank matches the reference's
-(search/rabitq_search.hpp:132-133).
+int8 contraction estimates every database distance, a fused binned-min
+packed-key reduce selects candidates, and the exact-L2 rerank matches
+the reference's (search/rabitq_search.hpp:132-133).
 
 Where the reference derives beam gates from EVT calibration, the scan's
 single derived quantity is the candidate budget top_c(k): measured at
@@ -36,6 +36,15 @@ ENCODE_CHUNK = 1 << 17  # rows per encode dispatch (bounds HBM intermediates)
 # async; the remote tunnel moves ~36 MB/s, so an 8192x128 f32 batch alone
 # costs ~110 ms serialized — pipelining hides it behind compute).
 SEARCH_SUB_BATCH = 2048
+# Queries cross the host->device link as f16 and are cast back to f32 on
+# device (everything downstream, including the exact rerank, computes in
+# f32 from the f16-rounded query).  The link is the search bottleneck
+# (~25-36 MB/s through the tunnel) so halving the bytes halves the
+# dominant cost; the f16 rounding perturbs each query component by
+# ~5e-4 relative, which moves squared distances by ~0.3% of the
+# NN-distance scale — two orders below top-k boundary gaps (recall
+# measured unchanged to 4 decimal places on the 100k proxy).
+QUERY_WIRE_DTYPE = np.float16
 
 
 class ScanIndex:
@@ -241,7 +250,7 @@ class ScanIndex:
                 )
             chunk, n_eq, rem = scan.chunk_plan(n_pad, padded)
             top_c = max(min(top_c_k, chunk), k_eff)
-            q_dev = jax.device_put(q_sub)
+            q_dev = jax.device_put(q_sub.astype(QUERY_WIRE_DTYPE))
             ids_d, d_d = scan.scan_search(
                 self._arrays, q_dev, self._signs, aff_a, aff_b, n_dev,
                 kappa=float((1 << self._bits) - 1),

@@ -74,56 +74,86 @@ class UpperLayers(NamedTuple):
     entry_global: int        # global id of the single top-level entry
 
 
-def _bridge_components(sub_raw, sub_norm, sel) -> jax.Array:
-    """Connect every minor undirected component of the level graph to the
-    main one through its nearest cross-component pair (both directions).
+def _bridge_components(sub_raw, sub_norm, sel, entry_local: int) -> jax.Array:
+    """Make every node of the level graph reachable from the level entry
+    by DIRECTED out-edges (what query-time greedy descent actually
+    follows), bridging unreached regions through their nearest cross
+    pair in both directions.
 
     The reference's insertion build cannot produce disconnected upper
     graphs (every insert links to already-reachable nodes,
     hnsw_index.hpp:566-613); NNDescent on well-separated clusters can —
-    and a disconnected upper layer silently strands greedy descent.  The
-    bridge edge replaces each endpoint's worst (last) slot.
+    and an unreachable region silently strands greedy descent.
+    Undirected connectivity is NOT enough: a component linked only by
+    minor->main edges counts as connected yet stays unreachable from the
+    entry, so reachability is computed as directed BFS from entry_local.
+    Bridge edges go into the first free (-1) slot, else rotate through
+    the worst slots so multiple bridges into one node never overwrite
+    each other.
     """
     sel_np = np.array(sel)  # writable host copy
     n_l, deg = sel_np.shape
-    comp = np.full(n_l, -1, np.int64)
-    n_comp = 0
-    for start in range(n_l):
-        if comp[start] >= 0:
-            continue
-        frontier = np.array([start])
-        comp[start] = n_comp
-        while frontier.size:
-            # undirected: out-edges plus in-edges of the frontier
-            out = sel_np[frontier].ravel()
-            out = out[out >= 0]
-            inc = np.where(np.isin(sel_np, frontier).any(axis=1))[0]
-            nxt = np.unique(np.concatenate([out, inc]))
-            nxt = nxt[comp[nxt] < 0]
-            comp[nxt] = n_comp
-            frontier = nxt
-        n_comp += 1
-    if n_comp == 1:
-        return sel
-
-    sizes = np.bincount(comp)
-    main = int(sizes.argmax())
     raw_h = np.asarray(sub_raw)
     norm_h = np.asarray(sub_norm)
-    main_idx = np.where(comp == main)[0]
-    for c in range(n_comp):
-        if c == main:
-            continue
-        idx = np.where(comp == c)[0]
-        d = (
-            norm_h[idx][:, None]
-            + norm_h[main_idx][None, :]
-            - 2.0 * raw_h[idx] @ raw_h[main_idx].T
-        )
-        i, j = np.unravel_index(np.argmin(d), d.shape)
-        a, b = int(idx[i]), int(main_idx[j])
-        sel_np[a, deg - 1] = b
-        sel_np[b, deg - 1] = a
+    bridged = np.zeros(n_l, np.int64)  # bridges already placed per node
+
+    def place(a: int, b: int):
+        row = sel_np[a]
+        if (row == b).any():
+            return
+        free = np.where(row < 0)[0]
+        if free.size:
+            row[free[0]] = b
+        else:
+            row[deg - 1 - (bridged[a] % deg)] = b
+        bridged[a] += 1
+
+    for _ in range(n_l):  # each pass strictly shrinks the unreached set
+        reached = np.zeros(n_l, bool)
+        reached[entry_local] = True
+        frontier = np.array([entry_local])
+        while frontier.size:
+            out = sel_np[frontier].ravel()
+            out = out[out >= 0]
+            nxt = np.unique(out)
+            nxt = nxt[~reached[nxt]]
+            reached[nxt] = True
+            frontier = nxt
+        if reached.all():
+            break
+        # weakly-connected components of the unreached subgraph, each
+        # bridged to the reached set through its nearest cross pair
+        comp = np.full(n_l, -1, np.int64)
+        n_comp = 0
+        for start in np.where(~reached)[0]:
+            if comp[start] >= 0:
+                continue
+            comp[start] = n_comp
+            frontier = np.array([start])
+            while frontier.size:
+                out = sel_np[frontier].ravel()
+                out = out[out >= 0]
+                out = out[~reached[out]]
+                inc = np.where(
+                    ~reached & np.isin(sel_np, frontier).any(axis=1)
+                )[0]
+                nxt = np.unique(np.concatenate([out, inc]))
+                nxt = nxt[comp[nxt] < 0]
+                comp[nxt] = n_comp
+                frontier = nxt
+            n_comp += 1
+        r_idx = np.where(reached)[0]
+        for c in range(n_comp):
+            idx = np.where(comp == c)[0]
+            d = (
+                norm_h[idx][:, None]
+                + norm_h[r_idx][None, :]
+                - 2.0 * raw_h[idx] @ raw_h[r_idx].T
+            )
+            i, j = np.unravel_index(np.argmin(d), d.shape)
+            a, b = int(idx[i]), int(r_idx[j])
+            place(b, a)  # reached -> unreached: makes the region reachable
+            place(a, b)  # back edge keeps descent able to leave again
     return jnp.asarray(sel_np)
 
 
@@ -140,6 +170,18 @@ def build_upper_layers(
     max_level = int(levels.max()) if n else 0
     if max_level == 0:
         return None
+
+    # the query-time entry (first node of the highest built level) is
+    # known up front: levels are assigned before any graph is built, and
+    # a level only builds while it has >= 2 nodes — bridging at every
+    # level targets directed reachability from THIS node.
+    top_lvl = max(
+        (l for l in range(1, max_level + 1) if (levels >= l).sum() >= 2),
+        default=0,
+    )
+    if top_lvl == 0:
+        return None
+    entry_global = int(np.where(levels >= top_lvl)[0][0])
 
     node_ids, nbr_idx, local_maps = [], [], []
     for lvl in range(1, max_level + 1):
@@ -182,7 +224,8 @@ def build_upper_layers(
                 jnp.concatenate([sel, rev_i], axis=1),
                 jnp.concatenate([sel_d, rev_d], axis=1),
             )
-            sel = _bridge_components(sub_raw, sub_norm, sel)
+            entry_local = int(np.searchsorted(subset, entry_global))
+            sel = _bridge_components(sub_raw, sub_norm, sel, entry_local)
         lm = np.full(n, -1, np.int32)
         lm[subset] = np.arange(n_l, dtype=np.int32)
         node_ids.append(jnp.asarray(subset))
@@ -191,8 +234,8 @@ def build_upper_layers(
 
     if not node_ids:
         return None
-    # top entry: node of the highest built level (first in its subset)
-    entry_global = int(np.asarray(node_ids[-1])[0])
+    # entry_global == first node of the highest built level by
+    # construction (node_ids[-1][0])
     return UpperLayers(
         node_ids=tuple(node_ids),
         nbr_idx=tuple(nbr_idx),
@@ -290,4 +333,8 @@ def greedy_descend(
         )
         cur_global = ids_l[cur_local]
 
-    return cur_global
+    # slots never filled with a real node (beam wider than the reachable
+    # set: inf-priced pads and in-beam duplicates) become -1 so
+    # beam.search_batch treats them as empty instead of duplicating ids
+    # in its initial result heap
+    return jnp.where(jnp.isinf(cur_d), -1, cur_global)

@@ -28,9 +28,18 @@ import jax.numpy as jnp
 import numpy as np
 
 try:  # jax >= 0.4.35 top-level API; the experimental path is deprecated
-    from jax import shard_map
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        return _shard_map(f, **kw)
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+
+    # the legacy API spells the replication-check kwarg check_rep
+    def shard_map(f, **kw):
+        if "check_vma" in kw:
+            kw["check_rep"] = kw.pop("check_vma")
+        return _shard_map_legacy(f, **kw)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cphnsw_tpu.graph.build import NeighborStore
@@ -328,6 +337,11 @@ class ShardedScanIndex:
         chunk, n_eq, rem = scan.chunk_plan(n_local, len(q_in) // n_data)
         top_c = max(min(inner._budget.top_c(k_eff, inner._n), chunk), k_eff)
         aff_a, aff_b, n_dev = inner._dev_scalars
+        # same wire precision as the single-chip facade so sharded and
+        # single-chip results are bit-identical
+        from cphnsw_tpu.api.scan_index import QUERY_WIRE_DTYPE
+
+        q_in = q_in.astype(QUERY_WIRE_DTYPE)
         ids, dists = sharded_scan_search(
             self._store, jnp.asarray(q_in), inner._signs, aff_a, aff_b,
             n_dev, self._mesh, kappa=float((1 << self.bits) - 1),

@@ -160,12 +160,19 @@ def search_batch(
         # per-query entry seeds (e.g. from HNSW upper-layer greedy descent)
         n_seeds = min(int(cands.shape[1]), beam_cap, k)
         seeds = cands[:, :n_seeds]
+        # id < 0 marks an empty seed slot (greedy_descend pads short
+        # beams with -1): price it FLOAT_MAX so it never reaches the
+        # result heap, and keep the -1 id so downstream treats the slot
+        # as empty.
+        seeds_safe = jnp.maximum(seeds, 0)
         seed_d = estimate.exact_l2_sq(
-            qpad, qnorm, raw[seeds], norm_sq[seeds]
+            qpad, qnorm, raw[seeds_safe], norm_sq[seeds_safe]
         )
+        seed_d = jnp.where(seeds >= 0, seed_d, FLOAT_MAX)
         order = jnp.argsort(seed_d, axis=1)
         seeds = jnp.take_along_axis(seeds, order, axis=1)
         seed_d = jnp.take_along_axis(seed_d, order, axis=1)
+        seeds = jnp.where(seed_d < FLOAT_MAX, seeds, -1)
     else:
         # seed scan: exact distances to the shared candidate pool, top-S
         cands = cands.reshape(-1)
@@ -196,17 +203,20 @@ def search_batch(
     # per-step update dominates the step cost.  Hash evictions only cost
     # occasional duplicate expansions; result exactness is preserved by
     # the explicit result-heap dedup below.
+    # empty (-1) seed slots route to the spare visited slot (hash: the
+    # extra h_size cell; dense: the extra n cell)
     if visited_hash_bits > 0:
         h_size = 1 << visited_hash_bits
+        seed_slots = jnp.where(seeds >= 0, seeds % h_size, h_size)
         visited = (
             jnp.full((q, h_size + 1), -1, jnp.int32)
-            .at[q_idx[:, None], seeds % h_size]
+            .at[q_idx[:, None], seed_slots]
             .set(seeds)
         )
     else:
         visited = (
             jnp.zeros((q, n + 1), dtype=bool)
-            .at[q_idx[:, None], seeds]
+            .at[q_idx[:, None], jnp.where(seeds >= 0, seeds, n)]
             .set(True)
         )
 

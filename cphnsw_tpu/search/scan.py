@@ -22,9 +22,9 @@ d_qc^2 (every node shares the dataset-centroid parent) the ranking score
     g     = nop / max(ip_qo, floor)   (0 where ip_qo is degenerate)
 
 splits into one int8 MXU matmul (fs) plus a rank-5 node-constant term,
-with NO (Q, N) elementwise decode chain.  Selection uses
-lax.approx_max_k (TPU-native partial reduction); candidates get the same
-exact-L2 rerank as the reference (rabitq_search.hpp:132-133).
+with NO (Q, N) elementwise decode chain.  Selection is a fused
+binned-min packed-key reduce (see GROUP_BITS below); candidates get the
+same exact-L2 rerank as the reference (rabitq_search.hpp:132-133).
 
 Large N runs as a lax.scan over fixed-size code chunks carrying a
 running top-C, so the (Q, N) score matrix never materializes in HBM.
@@ -46,9 +46,6 @@ FLOAT_MAX = jnp.finfo(jnp.float32).max
 # Pad-row sentinel added to scores via the node-constant channel: large
 # enough to rank last, small enough that (-score) stays finite.
 PAD_SCORE = 1e30
-# Final-stage approx_max_k recall target (only ever applied over the
-# already-reduced bin array, a few thousand wide, so its cost is small).
-APPROX_RECALL = 0.95
 # Candidate selection is a binned-minimum reduction (the same partial-
 # reduction idea as lax.approx_max_k, hand-fused so the bin reduce is a
 # PURE jnp.min that XLA fuses straight into the score epilogue instead
@@ -58,18 +55,28 @@ APPROX_RECALL = 0.95
 # and (decoded from the low bits) its position — no variadic min+argmin
 # reduce, no per-chunk approx_max_k (measured on v5e at 1M x 128d,
 # Q=1024: per-chunk approx_max_k ~160 ms device vs ~30 ms for the fused
-# packed-key reduce; the score matmul itself is ~8 ms).
+# packed-key reduce; the score matmul itself is ~8 ms).  The smallest
+# top_c bin keys are then picked with ONE exact top_k over the reduced
+# (Q, total_bins) key array and decoded back to row ids.
 #
-# Capture analysis (mirrors approx_max_k's): a candidate at estimate
-# rank r survives iff no better-scoring row lands in its bin,
-# p ~ 1 - r/bins, so with bins >= BIN_FACTOR * top_c the head of the
-# candidate list (the true top-k, r << top_c) survives with ~99%+ and
-# the derived budget's RANK_SAFETY absorbs the tail loss.
+# Capture analysis: each bin keeps its TWO smallest keys (the group
+# index packed in the low bits makes keys unique within a bin, so the
+# exact second minimum is one masked re-reduce).  A candidate at
+# estimate rank r is lost only if >= 2 better-scoring rows land in its
+# bin: p_miss ~ (r/bins)^2 / 2.  With total bins = BIN_FACTOR * top_c
+# even the budget's deepest needed rank (r ~ top_c) survives with
+# ~1 - 1/(2*BIN_FACTOR^2) ~= 99.2%, and the head of the list (the true
+# top-k, r << top_c) with ~1 - (r/bins)^2/2 >= 99.99% — measured on the
+# 100k proxy: recall identical to exact top_c selection to 3 decimals,
+# where a one-winner-per-bin reduce at 2x the bins lost 0.6%.  Masking
+# the low GROUP_BITS of the score key only affects tie-breaks among
+# scores equal to ~7 significand bits — selection is approximate and
+# the rerank is exact, so this is free.
 GROUP_BITS = 8
 GROUP_MASK = jnp.uint32((1 << GROUP_BITS) - 1)
 SIGN_U32 = jnp.uint32(0x80000000)
 BIN_FACTOR = 8
-BINS_MIN = 1024
+BINS_MIN = 2048
 # Score-buffer budget per chunk in f32 elements (Q * chunk <= this).
 # The peak per chunk is ~3x this buffer: the int32 fs matmul output and
 # the f32 const_part are same-shaped intermediates that XLA materializes
@@ -107,7 +114,7 @@ class ScanArrays(NamedTuple):
 
 def store_pad(n: int) -> int:
     """Rows the store is padded to: next multiple of 256.  Keeping the
-    dead region tiny matters — approx_max_k's binned reduction assumes
+    dead region tiny matters — the binned-min selection assumes
     winners are spread over the whole row, so a large block of PAD_SCORE
     rows silently degrades its effective recall (measured: 24% pad
     -> recall@top_c 0.90 vs 0.997)."""
@@ -265,11 +272,71 @@ def _rerank(raw, norm_sq, qpad, qnorm, cand_ids, n, k):
 
 
 def _select(score, top_c: int, exact: bool):
-    """Per-chunk candidate selection on the negated (maximize) score; the
-    negation fuses into the score epilogue."""
-    if exact or top_c >= score.shape[1]:
-        return jax.lax.top_k(-score, min(top_c, score.shape[1]))
-    return jax.lax.approx_max_k(-score, top_c, recall_target=APPROX_RECALL)
+    """Per-chunk EXACT candidate selection (test/reference path; the fast
+    path is the binned-min reduce below)."""
+    del exact
+    return jax.lax.top_k(-score, min(top_c, score.shape[1]))
+
+
+def _bin_plan(size: int, want_bins: int) -> tuple[int, int]:
+    """(group, bins) for the binned-min reduce over a `size`-row chunk.
+
+    bins >= want_bins (capture), group <= 2^GROUP_BITS (the group index
+    must pack into the low key bits), group a power of two so it divides
+    size (all chunk sizes are multiples of 256)."""
+    if want_bins >= size:
+        return 1, size
+    g = min(size // want_bins, 1 << GROUP_BITS)
+    g = 1 << (g.bit_length() - 1)
+    return g, size // g
+
+
+def _monotone_u32(score):
+    """Order-preserving f32 -> u32 key map (IEEE sign-magnitude trick)."""
+    u = jax.lax.bitcast_convert_type(score, jnp.uint32)
+    return jnp.where((u & SIGN_U32) != 0, ~u, u | SIGN_U32)
+
+
+def _binned_keys(score, g: int, bins: int):
+    """(Q, 2*bins) packed keys: each bin's TWO smallest score keys, the
+    winning group index in the low GROUP_BITS of each.  Row index within
+    the chunk decodes as group_idx * bins + bin_idx.  Keys are unique
+    within a bin (distinct group indices), so the masked re-reduce
+    yields the exact second minimum."""
+    q = score.shape[0]
+    keys = _monotone_u32(score) & ~GROUP_MASK
+    if g == 1:
+        return keys
+    keys = keys.reshape(q, g, bins)
+    gidx = jax.lax.broadcasted_iota(jnp.uint32, (q, g, bins), 1)
+    keys = keys | gidx
+    m1 = jnp.min(keys, axis=1)
+    if g == 2:  # the two entries ARE the top-2
+        m2 = jnp.max(keys, axis=1)
+    else:
+        m2 = jnp.min(
+            jnp.where(keys == m1[:, None, :], jnp.uint32(0xFFFFFFFF), keys),
+            axis=1,
+        )
+    return jnp.concatenate([m1, m2], axis=1)
+
+
+def _decode_keys(cat_key, bin_base, bin_stride, top_c: int):
+    """Pick the smallest top_c keys across all bins, decode to row ids."""
+    w = cat_key.shape[1]
+    tc = min(top_c, w)
+    # unsigned-ascending -> signed-descending so lax.top_k picks minima
+    sel_key = jax.lax.bitcast_convert_type(~cat_key ^ SIGN_U32, jnp.int32)
+    if tc < w:
+        _, keep = jax.lax.top_k(sel_key, tc)
+        kept = jnp.take_along_axis(cat_key, keep, axis=1)
+    else:
+        keep = jnp.broadcast_to(
+            jnp.arange(w, dtype=jnp.int32), cat_key.shape
+        )
+        kept = cat_key
+    gi = (kept & GROUP_MASK).astype(jnp.int32)
+    return gi * bin_stride[keep] + bin_base[keep]
 
 
 @functools.partial(
@@ -295,8 +362,8 @@ def scan_search(
 
     queries: (Q, dim<=P) raw; returns (ids (Q,k) int32 global, d (Q,k)).
     (chunk, n_eq, rem) is the static chunk plan from chunk_plan().
-    Chunks are independent (per-chunk approx_max_k, one merge at the
-    end) — no sequential carry chain across chunks.  All heavy arrays
+    Chunks are independent (per-chunk binned-min keys, one global decode
+    at the end) — no sequential carry chain across chunks.  All heavy arrays
     are jit ARGUMENTS (never closure captures: the remote backend
     serializes captures into every compile request).
     """
@@ -307,52 +374,23 @@ def scan_search(
     qc, w_fs, y_aux = _query_side(qpad, signs, affine_a, affine_b, kappa)
     q_u_i8 = qc.q_u.astype(jnp.int8)
 
-    if n_eq == 1 and rem == 0:
-        score = _chunk_scores(arrays.planes, arrays.node_aux, q_u_i8,
-                              w_fs, y_aux, p)
-        _, cand_ids = _select(score, top_c, exact_select)
-    else:
+    q = qpad.shape[0]
+
+    def chunk_score(start, size):
+        planes_c = jax.lax.slice_in_dim(arrays.planes, start,
+                                        start + size, axis=0)
+        aux_c = jax.lax.slice_in_dim(arrays.node_aux, start,
+                                     start + size, axis=1)
+        return _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
+
+    if exact_select:
+        # reference-exact selection for tests: full top_k per chunk + merge
         parts_neg, parts_ids = [], []
-
-        def one_chunk(start, size):
-            planes_c = jax.lax.slice_in_dim(arrays.planes, start,
-                                            start + size, axis=0)
-            aux_c = jax.lax.slice_in_dim(arrays.node_aux, start,
-                                         start + size, axis=1)
-            score = _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
-            neg, idx = _select(score, top_c, exact_select)
-            return neg, idx.astype(jnp.int32) + start
-
-        if n_eq <= MAX_UNROLL:
-            for c in range(n_eq):
-                neg, ids = one_chunk(c * chunk, chunk)
-                parts_neg.append(neg)
-                parts_ids.append(ids)
-        else:
-            b, w = arrays.planes.shape[1:]
-            planes = arrays.planes[: n_eq * chunk].reshape(
-                n_eq, chunk, b, w
-            )
-            aux = (arrays.node_aux[:, : n_eq * chunk]
-                   .reshape(6, n_eq, chunk).transpose(1, 0, 2))
-            bases = jnp.arange(n_eq, dtype=jnp.int32) * chunk
-
-            def body(_, xs):
-                planes_c, aux_c, base = xs
-                score = _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
-                neg, idx = _select(score, top_c, exact_select)
-                return None, (neg, idx.astype(jnp.int32) + base)
-
-            _, (neg_s, ids_s) = jax.lax.scan(body, None, (planes, aux, bases))
-            q = qpad.shape[0]
-            parts_neg.append(neg_s.transpose(1, 0, 2).reshape(q, -1))
-            parts_ids.append(ids_s.transpose(1, 0, 2).reshape(q, -1))
-
-        if rem:
-            neg, ids = one_chunk(n_eq * chunk, rem)
+        for start in range(0, n_pad, chunk):
+            size = min(chunk, n_pad - start)
+            neg, idx = _select(chunk_score(start, size), top_c, True)
             parts_neg.append(neg)
-            parts_ids.append(ids)
-
+            parts_ids.append(idx.astype(jnp.int32) + start)
         cat_neg = jnp.concatenate(parts_neg, axis=1)
         cat_ids = jnp.concatenate(parts_ids, axis=1)
         if cat_neg.shape[1] > top_c:
@@ -360,6 +398,65 @@ def scan_search(
             cand_ids = jnp.take_along_axis(cat_ids, keep, axis=1)
         else:
             cand_ids = cat_ids
+        return _rerank(
+            arrays.raw, arrays.norm_sq, qpad, qnorm,
+            cand_ids.astype(jnp.int32), n, k,
+        )
+
+    # --- fast path: fused binned-min keys per chunk, one global decode ---
+    total_chunks = n_eq + (1 if rem else 0)
+    want = max(BINS_MIN, BIN_FACTOR * top_c)
+    want_c = -(-want // total_chunks)  # capture depends on TOTAL bins
+    g_eq, bins_eq = _bin_plan(chunk, want_c)
+    keys_parts, base_parts, stride_parts = [], [], []
+    # g > 1 chunks emit [bin minima, bin second-minima] — two key blocks
+    # sharing the same (base, stride) decode arrays
+    lane_eq = np.tile(
+        np.arange(bins_eq, dtype=np.int32), 1 if g_eq == 1 else 2
+    )
+    stride_eq = np.full(lane_eq.shape, bins_eq, np.int32)
+
+    def eq_chunk_keys(start):
+        return _binned_keys(chunk_score(start, chunk), g_eq, bins_eq)
+
+    if n_eq <= MAX_UNROLL:
+        for c in range(n_eq):
+            keys_parts.append(eq_chunk_keys(c * chunk))
+            base_parts.append(c * chunk + lane_eq)
+            stride_parts.append(stride_eq)
+    else:
+        b, w = arrays.planes.shape[1:]
+        planes = arrays.planes[: n_eq * chunk].reshape(n_eq, chunk, b, w)
+        aux = (arrays.node_aux[:, : n_eq * chunk]
+               .reshape(6, n_eq, chunk).transpose(1, 0, 2))
+
+        def body(_, xs):
+            planes_c, aux_c = xs
+            score = _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
+            return None, _binned_keys(score, g_eq, bins_eq)
+
+        _, keys_s = jax.lax.scan(body, None, (planes, aux))
+        keys_parts.append(keys_s.transpose(1, 0, 2).reshape(q, -1))
+        for c in range(n_eq):
+            base_parts.append(c * chunk + lane_eq)
+            stride_parts.append(stride_eq)
+
+    if rem:
+        g_r, bins_r = _bin_plan(rem, want_c)
+        keys_parts.append(
+            _binned_keys(chunk_score(n_eq * chunk, rem), g_r, bins_r)
+        )
+        lane_r = np.tile(
+            np.arange(bins_r, dtype=np.int32), 1 if g_r == 1 else 2
+        )
+        base_parts.append(n_eq * chunk + lane_r)
+        stride_parts.append(np.full(lane_r.shape, bins_r, np.int32))
+
+    cat_key = (keys_parts[0] if len(keys_parts) == 1
+               else jnp.concatenate(keys_parts, axis=1))
+    bin_base = jnp.asarray(np.concatenate(base_parts))
+    bin_stride = jnp.asarray(np.concatenate(stride_parts))
+    cand_ids = _decode_keys(cat_key, bin_base, bin_stride, top_c)
 
     return _rerank(
         arrays.raw, arrays.norm_sq, qpad, qnorm,

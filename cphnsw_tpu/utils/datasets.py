@@ -64,6 +64,84 @@ def load_dataset(name: str, base_dir: Path) -> dict:
     }
 
 
+def _device_groundtruth(
+    base: np.ndarray,
+    queries: np.ndarray,
+    gt_k: int,
+    metric: str = "l2",
+    row_chunk: int = 1 << 19,
+    q_block: int = 512,
+) -> np.ndarray:
+    """Exact ground truth via chunked device matmuls.
+
+    The host O(nq*n*d) loop cannot scale past ~1M on this machine's
+    single CPU core; on an accelerator the same computation is a few
+    seconds of f32 matmuls (precision=HIGHEST — bf16 passes would
+    corrupt the ground truth) with a carried exact top-k merge across
+    fixed-size row chunks.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, dim = base.shape
+    n_pad = -(-n // row_chunk) * row_chunk
+    if n_pad != n:
+        base = np.concatenate(
+            [base, np.zeros((n_pad - n, dim), np.float32)]
+        )
+    base_d = jax.device_put(base)
+    # pad-row norms become +inf so they can never enter the top-k
+    norm_d = jnp.where(
+        jnp.arange(n_pad) < n,
+        jnp.sum(base_d.astype(jnp.float32) ** 2, axis=1),
+        np.float32(np.finfo(np.float32).max),
+    )
+    valid_d = jnp.arange(n_pad) < n
+
+    @jax.jit
+    def block_gt(qb):
+        qn = jnp.sum(qb * qb, axis=1)
+        carry_neg = jnp.full((qb.shape[0], gt_k), -jnp.inf)
+        carry_ids = jnp.zeros((qb.shape[0], gt_k), jnp.int32)
+        for c in range(n_pad // row_chunk):
+            rows = jax.lax.slice_in_dim(
+                base_d, c * row_chunk, (c + 1) * row_chunk, axis=0
+            )
+            rnorm = jax.lax.slice_in_dim(
+                norm_d, c * row_chunk, (c + 1) * row_chunk, axis=0
+            )
+            dots = jax.lax.dot_general(
+                qb, rows,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if metric == "ip":
+                vmask = jax.lax.slice_in_dim(
+                    valid_d, c * row_chunk, (c + 1) * row_chunk, axis=0
+                )
+                d = jnp.where(vmask[None, :], -dots, jnp.inf)
+            else:
+                d = qn[:, None] + rnorm[None, :] - 2.0 * dots
+            neg, idx = jax.lax.top_k(-d, gt_k)
+            ids = idx.astype(jnp.int32) + c * row_chunk
+            cat_neg = jnp.concatenate([carry_neg, neg], axis=1)
+            cat_ids = jnp.concatenate([carry_ids, ids], axis=1)
+            carry_neg, keep = jax.lax.top_k(cat_neg, gt_k)
+            carry_ids = jnp.take_along_axis(cat_ids, keep, axis=1)
+        return carry_ids
+
+    gt = np.empty((len(queries), gt_k), np.int32)
+    for s in range(0, len(queries), q_block):
+        qb = queries[s : s + q_block]
+        if len(qb) < q_block:  # pad to the jitted block shape
+            qb = np.concatenate(
+                [qb, np.zeros((q_block - len(qb), dim), np.float32)]
+            )
+        out = np.asarray(block_gt(jax.device_put(qb)))
+        gt[s : s + q_block] = out[: len(queries) - s]
+    return gt
+
+
 def make_synthetic(
     name: str = "synthetic",
     n: int = 100_000,
@@ -80,6 +158,17 @@ def make_synthetic(
     computation is O(n_queries * n * dim) on the host, so results are
     cached on disk keyed by the full parameter tuple.
     """
+    parts = name.split("-")
+    metric = "l2"
+    for p in parts[1:]:
+        if p == "ip":
+            metric = "ip"  # e.g. synthetic-100k-1536d-ip
+        elif p.endswith("k"):
+            n = int(float(p[:-1]) * 1000)
+        elif p.endswith("m"):
+            n = int(float(p[:-1]) * 1_000_000)
+        elif p.endswith("d"):
+            dim = int(p[:-1])
     if cache_dir:
         key = f"{name}-{n}-{dim}-{n_queries}-{gt_k}-{n_clusters}-{seed}"
         cpath = Path(cache_dir) / f"{key}.npz"
@@ -88,15 +177,8 @@ def make_synthetic(
                 return {
                     "base": z["base"], "queries": z["queries"],
                     "groundtruth": z["groundtruth"], "dim": int(z["dim"]),
+                    "metric": metric,
                 }
-    parts = name.split("-")
-    for p in parts[1:]:
-        if p.endswith("k"):
-            n = int(float(p[:-1]) * 1000)
-        elif p.endswith("m"):
-            n = int(float(p[:-1]) * 1_000_000)
-        elif p.endswith("d"):
-            dim = int(p[:-1])
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 3.0
     base = centers[rng.integers(0, n_clusters, n)] + rng.standard_normal(
@@ -106,16 +188,38 @@ def make_synthetic(
     queries = base[qi] + 0.1 * rng.standard_normal((n_queries, dim)).astype(
         np.float32
     )
-    # exact ground truth in blocks (host)
+    # exact ground truth: on-device for large stores (the host loop is
+    # O(nq*n*dim) on one core), host blocks otherwise
+    use_device = n * dim > 256 * (1 << 20)
+    if use_device:
+        try:
+            import jax
+
+            use_device = jax.devices()[0].platform != "cpu"
+        except Exception:
+            use_device = False
+    if use_device:
+        gt = _device_groundtruth(base, queries, gt_k, metric=metric)
+        if cache_dir:
+            Path(cache_dir).mkdir(parents=True, exist_ok=True)
+            np.savez(cpath, base=base, queries=queries, groundtruth=gt,
+                     dim=dim)
+        return {
+            "base": base, "queries": queries, "groundtruth": gt, "dim": dim,
+            "metric": metric,
+        }
     gt = np.empty((n_queries, gt_k), dtype=np.int32)
     bs = 256
     for s in range(0, n_queries, bs):
         q = queries[s : s + bs]
-        d = (
-            (q**2).sum(1)[:, None]
-            - 2.0 * q @ base.T
-            + (base**2).sum(1)[None, :]
-        )
+        if metric == "ip":
+            d = -(q @ base.T)
+        else:
+            d = (
+                (q**2).sum(1)[:, None]
+                - 2.0 * q @ base.T
+                + (base**2).sum(1)[None, :]
+            )
         gt[s : s + bs] = np.argpartition(d, gt_k, axis=1)[:, :gt_k][
             np.arange(len(q))[:, None],
             np.argsort(
@@ -133,4 +237,5 @@ def make_synthetic(
         "queries": queries,
         "groundtruth": gt,
         "dim": dim,
+        "metric": metric,
     }

@@ -57,17 +57,26 @@ def recall_at_k(found: np.ndarray, truth: np.ndarray, k: int) -> float:
 
 def average_distance_ratio(
     base: np.ndarray, queries: np.ndarray, found: np.ndarray,
-    truth: np.ndarray, k: int,
+    truth: np.ndarray, k: int, metric: str = "l2",
 ) -> float:
     """Mean over (query, rank<=k) of d(q, found_i) / d(q, true_i); missing
-    results (-1 ids) count as infinitely bad."""
+    results (-1 ids) count as infinitely bad.  For metric='ip' the ratio
+    is score(true)/score(found) (so 1.0 is perfect, larger is worse,
+    matching the L2 orientation)."""
     k = min(k, found.shape[1], truth.shape[1])
 
     def sq_dists(ids):
         vecs = base[np.maximum(ids[:, :k], 0)]
+        if metric == "ip":
+            d = (vecs * queries[:, None, :]).sum(axis=2)
+            return np.where(ids[:, :k] >= 0, d, -np.inf)
         d = ((vecs - queries[:, None, :]) ** 2).sum(axis=2)
         return np.where(ids[:, :k] >= 0, d, np.inf)
 
+    if metric == "ip":
+        num = np.maximum(sq_dists(truth), np.finfo(np.float64).tiny)
+        den = np.maximum(sq_dists(found), np.finfo(np.float64).tiny)
+        return float(np.mean(num / den))
     denom = np.maximum(sq_dists(truth), np.finfo(np.float64).tiny)
     return float(np.mean(sq_dists(found) / denom))
 
@@ -128,11 +137,12 @@ def _timed_passes(search, queries, n_runs, profile_dir=None):
 
 def bench_one_case(
     base, queries, truth, *, dim, bits, k, n_runs, profile_dir=None,
+    engine="auto", metric="l2",
 ) -> CaseResult:
     gc.collect()
     rss_at_start = resident_mb()
     build_begin = time.perf_counter()
-    index = CPIndex(dim=dim, bits=bits)
+    index = CPIndex(dim=dim, bits=bits, engine=engine, metric=metric)
     index.build(base)
     index.finalize()
     build_seconds = time.perf_counter() - build_begin
@@ -155,7 +165,7 @@ def bench_one_case(
         recall_at_100=round(recall_at_k(ids, truth, min(k, 100)), 4),
         adr=round(
             average_distance_ratio(
-                base, queries, ids, truth, min(k, ADR_AT)
+                base, queries, ids, truth, min(k, ADR_AT), metric=metric
             ),
             6,
         ),
@@ -172,17 +182,20 @@ def run_benchmark(
     output_dir: Path,
     bit_widths=None,
     profile_dir=None,
+    engine="auto",
 ) -> dict:
     """Benchmark every bit width on one dataset; writes
-    <output_dir>/<dataset>_results.json and returns its contents."""
+    <output_dir>/<dataset>_results.json (suffixed _<engine> when the
+    engine is forced) and returns its contents."""
     ds = load_dataset(dataset_name, base_dir=base_dir)
     truth = ds["groundtruth"].astype(np.int64)
+    metric = ds.get("metric", "l2")
 
     cases = [
         bench_one_case(
             ds["base"], ds["queries"], truth,
             dim=ds["dim"], bits=bits, k=k, n_runs=n_runs,
-            profile_dir=profile_dir,
+            profile_dir=profile_dir, engine=engine, metric=metric,
         )
         for bits in (bit_widths or DEFAULT_BITS)
     ]
@@ -194,7 +207,7 @@ def run_benchmark(
             "n_base": len(ds["base"]),
             "n_queries": len(ds["queries"]),
             "dim": ds["dim"],
-            "metric": "l2",
+            "metric": metric,
             "k": k,
             "n_runs": n_runs,
         },
@@ -203,7 +216,8 @@ def run_benchmark(
 
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    (out / f"{dataset_name}_results.json").write_text(
+    suffix = "" if engine == "auto" else f"_{engine}"
+    (out / f"{dataset_name}{suffix}_results.json").write_text(
         json.dumps(report, indent=2)
     )
     return report

@@ -41,10 +41,17 @@ def test_index_recall(built, rng):
     recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
     assert recall > 0.9, f"recall@10={recall}"
     # ids are in the caller's original order with exact distances
+    # (against the wire-precision query — the scan engine transmits
+    # queries as f16, api/scan_index.py QUERY_WIRE_DTYPE)
+    from cphnsw_tpu.api.scan_index import QUERY_WIRE_DTYPE
+
+    q_wire = queries.astype(QUERY_WIRE_DTYPE).astype(np.float32)
+    d_wire = ((q_wire[:, None, :] - x[None, :, :]) ** 2).sum(-1)
     rows = np.arange(len(queries))[:, None]
     valid = ids >= 0
     np.testing.assert_allclose(
-        dists[valid], d[rows, np.maximum(ids, 0)][valid], rtol=1e-3, atol=1e-3
+        dists[valid], d_wire[rows, np.maximum(ids, 0)][valid],
+        rtol=1e-3, atol=1e-3,
     )
 
 

@@ -98,8 +98,13 @@ def test_scan_index_recall(rng, bits):
     recall = (ids[:, :, None] == gt[:, None, :]).any(-1).mean()
     assert recall >= 0.9, f"bits={bits}: recall@10={recall}"
 
-    # reranked distances must be exact and sorted
-    d_true = ((queries[:, None, :] - base[ids]) ** 2).sum(-1)
+    # reranked distances must be exact (against the query at wire
+    # precision — queries cross the host->device link as f16,
+    # api/scan_index.py QUERY_WIRE_DTYPE) and sorted
+    from cphnsw_tpu.api.scan_index import QUERY_WIRE_DTYPE
+
+    q_wire = queries.astype(QUERY_WIRE_DTYPE).astype(np.float32)
+    d_true = ((q_wire[:, None, :] - base[ids]) ** 2).sum(-1)
     np.testing.assert_allclose(dists, d_true, rtol=1e-3, atol=1e-3)
     assert np.all(np.diff(dists, axis=1) >= -1e-5)
 
