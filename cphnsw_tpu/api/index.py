@@ -600,7 +600,10 @@ class CPIndex:
         return "graph" if isinstance(self._index, Index) else "scan"
 
     def build(self, vectors):
-        vectors = np.asarray(vectors)
+        import jax
+
+        if not isinstance(vectors, jax.Array):
+            vectors = np.asarray(vectors)
         name = self._engine_req
         if name == "auto":
             n = vectors.shape[0] if vectors.ndim == 2 else 0
@@ -611,6 +614,8 @@ class CPIndex:
             name = "scan" if fits else "graph"
         if self.engine != name:
             self._index = self._make_engine(name)
+        if name == "graph" and isinstance(vectors, jax.Array):
+            vectors = np.asarray(vectors)  # graph build stages on host
         self._index.build(vectors)
 
     def finalize(self):

@@ -33,9 +33,11 @@ VERSION = 2  # v2: codes stored as packed uint32 bit-planes (bits*P/8 B/vec)
 ENCODE_CHUNK = 1 << 17  # rows per encode dispatch (bounds HBM intermediates)
 # Queries are uploaded and searched in fixed sub-batches so the host->device
 # transfer of sub-batch i+1 overlaps the scan of sub-batch i (dispatch is
-# async; the remote tunnel moves ~36 MB/s, so an 8192x128 f32 batch alone
-# costs ~110 ms serialized — pipelining hides it behind compute).
-SEARCH_SUB_BATCH = 2048
+# async; the remote tunnel moves ~20-40 MB/s, so an 8192x128 batch alone
+# costs >50 ms serialized — pipelining hides it behind compute).  512 was
+# the best point of a {512..8192} sweep at Q=8192 on 100k x 128d
+# (exp/scan_opsweep2.py: 36.7k qps vs 34.3k at 2048, 23k at 8192).
+SEARCH_SUB_BATCH = 512
 # Queries cross the host->device link as f16 and are cast back to f32 on
 # device (everything downstream, including the exact rerank, computes in
 # f32 from the f16-rounded query).  The link is the search bottleneck
@@ -92,10 +94,39 @@ class ScanIndex:
         self._dev_scalars = None
 
     # ------------------------------------------------------------- build
-    def build(self, vectors: np.ndarray):
+    def build(self, vectors):
         """Stage vectors (reference Index::build, hnsw_index.hpp:93-120;
         encoding is deferred to finalize so build+finalize timing matches
-        the reference's split of cheap staging vs heavy finalize)."""
+        the reference's split of cheap staging vs heavy finalize).
+
+        Accepts a host np.ndarray OR a device-resident jax.Array — the
+        device path skips the host->device upload entirely (the tunnel
+        moves ~20 MB/s; a 10M x 96d store would cost hours to ship but
+        regenerates or streams on-device in seconds)."""
+        if isinstance(vectors, jax.Array) and not isinstance(
+            vectors, np.ndarray
+        ):
+            if vectors.ndim != 2 or vectors.shape[1] != self._dim:
+                raise ValueError(
+                    f"expected (n, {self._dim}) array, got {vectors.shape}"
+                )
+            if vectors.shape[0] == 0:
+                raise ValueError("build requires at least one vector.")
+            self._n = int(vectors.shape[0])
+            vecs_d = vectors.astype(jnp.float32)
+            if self._metric == "ip":
+                norms_sq = jnp.sum(vecs_d.astype(jnp.float64) ** 2, axis=1)
+                bound_sq = float(jnp.max(norms_sq))
+                self._ip_norm_bound = bound_sq
+                aug = jnp.sqrt(
+                    jnp.maximum(bound_sq - norms_sq, 0.0)
+                ).astype(jnp.float32)
+                vecs_d = jnp.concatenate([vecs_d, aug[:, None]], axis=1)
+            self._vectors_dev = vecs_d
+            self._vectors_host = None
+            self._finalized = False
+            self._needs_build = True
+            return self
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         if vectors.ndim != 2 or vectors.shape[1] != self._dim:
             raise ValueError(
@@ -113,24 +144,47 @@ class ScanIndex:
                 [vectors, aug[:, None].astype(np.float32)], axis=1
             )
         self._vectors_host = vectors
+        self._vectors_dev = None
         self._finalized = False
         self._needs_build = True
         return self
 
     def finalize(self, verbose: bool = False):
-        """Encode + calibrate + derive the candidate budget."""
+        """Encode + calibrate + derive the candidate budget.
+
+        Per-stage wall times land in self.build_stages (seconds) so build
+        anomalies are diagnosable from the results JSON rather than
+        verbose prints (VERDICT r3: the 1M/960d 1-bit build anomaly was
+        undiagnosable without this)."""
+        import time as _time
+
+        stages: dict[str, float] = {}
+        t_last = _time.perf_counter()
+
+        def _mark(name):
+            nonlocal t_last
+            now = _time.perf_counter()
+            stages[name] = round(now - t_last, 2)
+            t_last = now
+
         if self._n == 0:
             raise RuntimeError("Cannot finalize an empty index.")
         if not self._needs_build:
             raise RuntimeError("Finalize called without a pending build.")
         n = self._n
         n_pad = scan.store_pad(n)
-        vecs = self._vectors_host
-        if n_pad != n:
-            vecs = np.concatenate(
-                [vecs, np.zeros((n_pad - n, vecs.shape[1]), np.float32)]
-            )
-        raw = hadamard.pad_to(jnp.asarray(vecs), self._padded)
+        if getattr(self, "_vectors_dev", None) is not None:
+            vecs_d = self._vectors_dev
+            if n_pad != n:
+                vecs_d = jnp.pad(vecs_d, ((0, n_pad - n), (0, 0)))
+        else:
+            vecs = self._vectors_host
+            if n_pad != n:
+                vecs = np.concatenate(
+                    [vecs, np.zeros((n_pad - n, vecs.shape[1]), np.float32)]
+                )
+            vecs_d = jnp.asarray(vecs)
+        raw = hadamard.pad_to(vecs_d, self._padded)
         norm_sq = jnp.sum(raw * raw, axis=-1)
         centroid = quantize.compute_centroid(raw[:n])
         rot_centroid = hadamard.rotate(centroid, self._signs)
@@ -154,6 +208,9 @@ class ScanIndex:
         ip_qo = jnp.concatenate(qos)
         ip_cp = jnp.concatenate(cps)
         wpc = jnp.concatenate(wpcs)
+        jax.block_until_ready(nop)
+        np.asarray(nop[:1])  # force (block_until_ready is a no-op on axon)
+        _mark("encode")
 
         a, b, floor = scan.calibrate_scan_affine(
             raw, planes, nop, ip_qo, ip_cp, wpc, centroid, self._signs,
@@ -163,12 +220,14 @@ class ScanIndex:
             nop, ip_qo, ip_cp, wpc, jnp.asarray(floor, jnp.float32),
             jnp.asarray(n),
         )
+        _mark("calibrate")
         arrays = scan.ScanArrays(
             planes=planes, node_aux=node_aux, raw=raw, norm_sq=norm_sq
         )
         budget = scan.derive_candidate_budget(
             arrays, self._signs, a, b, n, kappa, seed=self._seed + 4242
         )
+        _mark("candidate_budget")
         if verbose:
             print(
                 f"scan budget anchors={budget.anchors.tolist()} "
@@ -187,8 +246,11 @@ class ScanIndex:
         self._budget = budget
         self._stage_scalars()
         self._vectors_host = None
+        self._vectors_dev = None
         self._needs_build = False
         self._finalized = True
+        _mark("stage_host_copies")
+        self.build_stages = stages
         return self
 
     def _stage_scalars(self):

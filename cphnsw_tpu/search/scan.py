@@ -196,7 +196,13 @@ def _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p):
     fs = <q_u, sum_b 2^(B-1-b) plane_b> — the plane recombination happens
     in the int8 unpack (one fused elementwise kernel) so ONE int8 matmul
     covers every bit width; the reference's per-plane scan + weighted sum
-    (fastscan_kernel.hpp:197-217) collapses into the unpack."""
+    (fastscan_kernel.hpp:197-217) collapses into the unpack.
+
+    The rank-5 node-constant term is summed as explicit broadcasts, NOT
+    a (Q,5)x(5,chunk) matmul: XLA fuses broadcast chains into the
+    downstream binned-min reduce without materializing any (Q, chunk)
+    buffer, while a dot always materializes its output — at 1M rows
+    that is an extra GB-scale HBM round trip per pass."""
     codes_c = pack.unpack_codes_i8(planes_c, p)
     fs = jax.lax.dot_general(
         q_u_i8,
@@ -204,9 +210,11 @@ def _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    const_part = y_aux @ aux_c[:5]                             # (Q, chunk)
     g_c = aux_c[5]
-    return const_part + (w_fs[:, None] * g_c[None, :]) * fs.astype(jnp.float32)
+    score = (w_fs[:, None] * g_c[None, :]) * fs.astype(jnp.float32)
+    for a in range(5):
+        score = score + y_aux[:, a, None] * aux_c[a][None, :]
+    return score
 
 
 # Gathered-candidate f32 elements per rerank piece (Q * piece * P): the

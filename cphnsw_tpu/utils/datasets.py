@@ -64,8 +64,32 @@ def load_dataset(name: str, base_dir: Path) -> dict:
     }
 
 
+def _device_synthetic(n, dim, n_queries, n_clusters, seed):
+    """Generate the clustered-gaussian store ON the accelerator.
+
+    The tunnel to the device moves ~16-40 MB/s in both directions, so
+    uploading a multi-GB store is hours while regenerating it from the
+    PRNG seed is seconds — and jax's threefry is bitwise deterministic,
+    so every call (and every process) sees the same data.  Returns
+    (base_dev (n, dim) f32 on device, queries np (n_queries, dim)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    kc, ka, kn, kq, kqn = jax.random.split(key, 5)
+    centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32) * 3.0
+    assign = jax.random.randint(ka, (n,), 0, n_clusters)
+    base = centers[assign] + jax.random.normal(kn, (n, dim), jnp.float32)
+    qi = jax.random.choice(kq, n, (n_queries,), replace=False)
+    queries = base[qi] + 0.1 * jax.random.normal(
+        kqn, (n_queries, dim), jnp.float32
+    )
+    return base, np.asarray(queries)
+
+
 def _device_groundtruth(
-    base: np.ndarray,
+    base,
     queries: np.ndarray,
     gt_k: int,
     metric: str = "l2",
@@ -85,11 +109,9 @@ def _device_groundtruth(
 
     n, dim = base.shape
     n_pad = -(-n // row_chunk) * row_chunk
+    base_d = jnp.asarray(base)  # no-op when already device-resident
     if n_pad != n:
-        base = np.concatenate(
-            [base, np.zeros((n_pad - n, dim), np.float32)]
-        )
-    base_d = jax.device_put(base)
+        base_d = jnp.pad(base_d, ((0, n_pad - n), (0, 0)))
     # pad-row norms become +inf so they can never enter the top-k
     norm_d = jnp.where(
         jnp.arange(n_pad) < n,
@@ -98,8 +120,11 @@ def _device_groundtruth(
     )
     valid_d = jnp.arange(n_pad) < n
 
+    # base/norms are ARGUMENTS, never closure captures: the remote
+    # backend serializes captured constants into every compile request
+    # (a 1M-row capture overflows it with HTTP 413)
     @jax.jit
-    def block_gt(qb):
+    def block_gt(qb, base_d, norm_d, valid_d):
         qn = jnp.sum(qb * qb, axis=1)
         carry_neg = jnp.full((qb.shape[0], gt_k), -jnp.inf)
         carry_ids = jnp.zeros((qb.shape[0], gt_k), jnp.int32)
@@ -137,7 +162,9 @@ def _device_groundtruth(
             qb = np.concatenate(
                 [qb, np.zeros((q_block - len(qb), dim), np.float32)]
             )
-        out = np.asarray(block_gt(jax.device_put(qb)))
+        out = np.asarray(
+            block_gt(jax.device_put(qb), base_d, norm_d, valid_d)
+        )
         gt[s : s + q_block] = out[: len(queries) - s]
     return gt
 
@@ -169,6 +196,45 @@ def make_synthetic(
             n = int(float(p[:-1]) * 1_000_000)
         elif p.endswith("d"):
             dim = int(p[:-1])
+    # Large stores are generated ON the accelerator (threefry is
+    # bitwise-deterministic, so the store regenerates identically in
+    # seconds instead of uploading GB through a ~20 MB/s tunnel) and the
+    # ground truth is computed on-device; small stores use the host
+    # numpy recipe.
+    use_device = n * dim >= (64 << 20)
+    if use_device:
+        try:
+            import jax
+
+            use_device = jax.devices()[0].platform != "cpu"
+        except Exception:
+            use_device = False
+
+    if use_device:
+        key = (f"{name}-{n}-{dim}-{n_queries}-{gt_k}-{n_clusters}-"
+               f"{seed}-dev")
+        cpath = Path(cache_dir) / f"{key}.npz" if cache_dir else None
+        base_dev, queries = _device_synthetic(
+            n, dim, n_queries, n_clusters, seed
+        )
+        if cpath is not None and cpath.exists():
+            with np.load(cpath) as z:
+                return {
+                    "base": z["base"], "queries": z["queries"],
+                    "groundtruth": z["groundtruth"], "dim": int(z["dim"]),
+                    "metric": metric, "base_dev": base_dev,
+                }
+        gt = _device_groundtruth(base_dev, queries, gt_k, metric=metric)
+        base = np.asarray(base_dev)  # host copy (eval ADR + cache)
+        if cpath is not None:
+            Path(cache_dir).mkdir(parents=True, exist_ok=True)
+            np.savez(cpath, base=base, queries=queries, groundtruth=gt,
+                     dim=dim)
+        return {
+            "base": base, "queries": queries, "groundtruth": gt,
+            "dim": dim, "metric": metric, "base_dev": base_dev,
+        }
+
     if cache_dir:
         key = f"{name}-{n}-{dim}-{n_queries}-{gt_k}-{n_clusters}-{seed}"
         cpath = Path(cache_dir) / f"{key}.npz"
@@ -188,26 +254,6 @@ def make_synthetic(
     queries = base[qi] + 0.1 * rng.standard_normal((n_queries, dim)).astype(
         np.float32
     )
-    # exact ground truth: on-device for large stores (the host loop is
-    # O(nq*n*dim) on one core), host blocks otherwise
-    use_device = n * dim > 256 * (1 << 20)
-    if use_device:
-        try:
-            import jax
-
-            use_device = jax.devices()[0].platform != "cpu"
-        except Exception:
-            use_device = False
-    if use_device:
-        gt = _device_groundtruth(base, queries, gt_k, metric=metric)
-        if cache_dir:
-            Path(cache_dir).mkdir(parents=True, exist_ok=True)
-            np.savez(cpath, base=base, queries=queries, groundtruth=gt,
-                     dim=dim)
-        return {
-            "base": base, "queries": queries, "groundtruth": gt, "dim": dim,
-            "metric": metric,
-        }
     gt = np.empty((n_queries, gt_k), dtype=np.int32)
     bs = 256
     for s in range(0, n_queries, bs):

@@ -46,6 +46,7 @@ class CaseResult:
     adr: float
     qps: float
     median_latency_us: float
+    build_stages_s: dict | None = None
 
 
 def recall_at_k(found: np.ndarray, truth: np.ndarray, k: int) -> float:
@@ -137,13 +138,15 @@ def _timed_passes(search, queries, n_runs, profile_dir=None):
 
 def bench_one_case(
     base, queries, truth, *, dim, bits, k, n_runs, profile_dir=None,
-    engine="auto", metric="l2",
+    engine="auto", metric="l2", base_dev=None,
 ) -> CaseResult:
     gc.collect()
     rss_at_start = resident_mb()
     build_begin = time.perf_counter()
     index = CPIndex(dim=dim, bits=bits, engine=engine, metric=metric)
-    index.build(base)
+    # a device-resident copy of the store (when the dataset was generated
+    # on-device) skips the multi-GB host->device upload
+    index.build(base if base_dev is None else base_dev)
     index.finalize()
     build_seconds = time.perf_counter() - build_begin
     gc.collect()
@@ -171,6 +174,9 @@ def bench_one_case(
         ),
         qps=round(len(queries) / median_s, 1),
         median_latency_us=round(median_s / len(queries) * 1e6, 2),
+        build_stages_s=getattr(
+            getattr(index, "_index", index), "build_stages", None
+        ),
     )
 
 
@@ -196,6 +202,7 @@ def run_benchmark(
             ds["base"], ds["queries"], truth,
             dim=ds["dim"], bits=bits, k=k, n_runs=n_runs,
             profile_dir=profile_dir, engine=engine, metric=metric,
+            base_dev=ds.get("base_dev"),
         )
         for bits in (bit_widths or DEFAULT_BITS)
     ]
