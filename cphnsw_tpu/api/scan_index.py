@@ -175,17 +175,14 @@ class ScanIndex:
         n_pad = scan.store_pad(n)
         if getattr(self, "_vectors_dev", None) is not None:
             vecs_d = self._vectors_dev
-            if n_pad != n:
-                vecs_d = jnp.pad(vecs_d, ((0, n_pad - n), (0, 0)))
         else:
-            vecs = self._vectors_host
-            if n_pad != n:
-                vecs = np.concatenate(
-                    [vecs, np.zeros((n_pad - n, vecs.shape[1]), np.float32)]
-                )
-            vecs_d = jnp.asarray(vecs)
-        raw = hadamard.pad_to(vecs_d, self._padded)
-        norm_sq = jnp.sum(raw * raw, axis=-1)
+            vecs_d = jnp.asarray(self._vectors_host)
+        # one fused program pads rows+dims and computes norms WITHOUT
+        # materializing intermediate padded copies — at 10M x 96d the
+        # eager pad->pad->square chain peaks ~18 GB and OOMs the chip
+        raw, norm_sq = scan.pad_store_and_norms(
+            vecs_d, rows=n_pad, cols=self._padded
+        )
         centroid = quantize.compute_centroid(raw[:n])
         rot_centroid = hadamard.rotate(centroid, self._signs)
         kappa = float((1 << self._bits) - 1)
@@ -253,6 +250,14 @@ class ScanIndex:
         self.build_stages = stages
         return self
 
+    def _use_fused(self) -> bool:
+        """The Pallas fused scan+select kernel runs on real TPU; the
+        portable XLA chunked path everywhere else (identical results up
+        to 1-ulp score rounding in the approximate selection)."""
+        if not hasattr(self, "_fused"):
+            self._fused = jax.devices()[0].platform == "tpu"
+        return self._fused
+
     def _stage_scalars(self):
         self._dev_scalars = (
             jnp.asarray(self._affine_a, jnp.float32),
@@ -317,6 +322,7 @@ class ScanIndex:
                 self._arrays, q_dev, self._signs, aff_a, aff_b, n_dev,
                 kappa=float((1 << self._bits) - 1),
                 k=k_eff, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
+                fused=self._use_fused(),
             )
             outs.append((ids_d[:rows], d_d[:rows]))
         # pack (ids, dists) of all sub-batches into ONE device array and

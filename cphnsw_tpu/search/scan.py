@@ -72,9 +72,19 @@ PAD_SCORE = 1e30
 # the low GROUP_BITS of the score key only affects tie-breaks among
 # scores equal to ~7 significand bits — selection is approximate and
 # the rerank is exact, so this is free.
-GROUP_BITS = 8
+# 10 group bits: the score keeps the top 22 bits (4M distinct ranks —
+# far below the f32 noise floor of the estimate), and groups of up to
+# 1024 rows per bin keep the bin count manageable at 10M+ rows.
+GROUP_BITS = 10
 GROUP_MASK = jnp.uint32((1 << GROUP_BITS) - 1)
 SIGN_U32 = jnp.uint32(0x80000000)
+# numpy twins for the Pallas kernel (kernels cannot close over traced
+# jnp constants).  The kernel keeps keys in SIGNED int32 (Mosaic has no
+# unsigned vector min): i >= 0 ? i : i ^ 0x7FFFFFFF is the signed
+# monotone float encoding, and bitcast(key) ^ 0x80000000 maps it
+# bit-exactly onto the u32 convention used by the XLA path.
+NP_NOT_GROUP_I32 = np.int32(~((1 << GROUP_BITS) - 1))
+NP_I32_MAX = np.int32(0x7FFFFFFF)
 BIN_FACTOR = 8
 BINS_MIN = 2048
 # Score-buffer budget per chunk in f32 elements (Q * chunk <= this).
@@ -110,6 +120,18 @@ class ScanArrays(NamedTuple):
     node_aux: jax.Array   # (6, N_pad) f32: [nop^2(+pad), nop, g*wpc, g, g*ip_cp, g]
     raw: jax.Array        # (N_pad, P) f32 zero-padded raw vectors
     norm_sq: jax.Array    # (N_pad,)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def pad_store_and_norms(v, rows: int, cols: int):
+    """Zero-pad (n, d) -> (rows, cols) and compute row norms in ONE
+    program: fusion keeps the peak at input + output instead of the
+    eager pad->pad->square chain's two extra store-sized copies."""
+    raw = jnp.pad(
+        v.astype(jnp.float32),
+        ((0, rows - v.shape[0]), (0, cols - v.shape[1])),
+    )
+    return raw, jnp.sum(raw * raw, axis=-1)
 
 
 def store_pad(n: int) -> int:
@@ -217,6 +239,109 @@ def _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p):
     return score
 
 
+# --------------------------------------------------------------------------
+# Fused Pallas scan+select kernel (the TPU fast path).
+#
+# The XLA chunked path materializes fs (int32) and re-reads the fused
+# score for both binned-min passes — ~4 HBM round trips over (Q, chunk)
+# buffers.  This kernel keeps the (bq, bn) score tile in VMEM and writes
+# only the (Q, 2*bins) packed keys: HBM traffic collapses to the int8
+# codes once (plus tiny outputs), leaving the int8 MXU contraction as
+# the only real cost.  Verified against the XLA reduction (>=99.9% key
+# equality; residual diffs are 1-ulp FMA rounding in the score).
+#
+# Row r of the (g*bins)-padded store maps to bin r % bins, group
+# r // bins — identical to _binned_keys.  Grid (Q/bq, bins/bn, g) with
+# the group axis innermost: the output key block stays resident in VMEM
+# while every group's candidate row block streams through, merging an
+# exact per-bin top-2 ((m1, m2) carried in the output refs).
+# --------------------------------------------------------------------------
+
+
+def _fused_kernel(codes_ref, aux_ref, q_ref, wfs_ref, yaux_ref,
+                  m1_ref, m2_ref):
+    import jax.experimental.pallas as pl
+
+    gi = pl.program_id(2)
+    fs = jax.lax.dot_general(
+        q_ref[:],                        # (bq, P) int8
+        codes_ref[:],                    # (bn, P) int8
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                     # (bq, bn)
+    g_c = aux_ref[5, :]
+    score = (wfs_ref[:] * g_c[None, :]) * fs.astype(jnp.float32)
+    for a in range(5):
+        score = score + yaux_ref[:, a][:, None] * aux_ref[a, :][None, :]
+
+    i = jax.lax.bitcast_convert_type(score, jnp.int32)
+    key = jnp.where(i >= 0, i, i ^ NP_I32_MAX)
+    key = (key & NP_NOT_GROUP_I32) | gi.astype(jnp.int32)
+
+    @pl.when(gi == 0)
+    def _():
+        m1_ref[:] = jnp.full_like(m1_ref, NP_I32_MAX)
+        m2_ref[:] = jnp.full_like(m2_ref, NP_I32_MAX)
+
+    # each grid step contributes exactly ONE candidate per bin, so the
+    # top-2 merge is two min/max lattice ops
+    m1_old = m1_ref[:]
+    m1_ref[:] = jnp.minimum(m1_old, key)
+    m2_ref[:] = jnp.minimum(m2_ref[:], jnp.maximum(m1_old, key))
+
+
+def fused_bin_plan(n_pad: int, top_c: int) -> tuple[int, int, int]:
+    """(bins, groups, rows_kpad) for the fused kernel over the whole
+    store: bins a multiple of the 512-lane block, large enough for both
+    capture (BIN_FACTOR * top_c) and the group-index width
+    (groups <= 2^GROUP_BITS)."""
+    want = max(BINS_MIN, BIN_FACTOR * top_c, -(-n_pad // (1 << GROUP_BITS)))
+    bins = -(-want // 512) * 512
+    bins = min(bins, -(-n_pad // 512) * 512)
+    groups = -(-n_pad // bins)
+    return bins, groups, groups * bins
+
+
+def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
+                    bins: int, interpret: bool = False):
+    """(Q, 2*bins) packed top-2 bin keys over the kernel-padded store."""
+    import jax.experimental.pallas as pl
+
+    rows_kpad, p = codes_i8.shape
+    q = q_u_i8.shape[0]
+    groups = rows_kpad // bins
+    bq = min(256, q)
+    bn = 512
+    assert bins % bn == 0 and q % bq == 0 and rows_kpad % bins == 0
+    if p >= 1024:  # keep VMEM blocks comfortable at high dim
+        bq = min(bq, 128)
+    nb = bins // bn
+
+    m1, m2 = pl.pallas_call(
+        _fused_kernel,
+        grid=(q // bq, nb, groups),
+        in_specs=[
+            pl.BlockSpec((bn, p), lambda qi, bj, gi: (gi * nb + bj, 0)),
+            pl.BlockSpec((6, bn), lambda qi, bj, gi: (0, gi * nb + bj)),
+            pl.BlockSpec((bq, p), lambda qi, bj, gi: (qi, 0)),
+            pl.BlockSpec((bq, 1), lambda qi, bj, gi: (qi, 0)),
+            pl.BlockSpec((bq, 5), lambda qi, bj, gi: (qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, bn), lambda qi, bj, gi: (qi, bj)),
+            pl.BlockSpec((bq, bn), lambda qi, bj, gi: (qi, bj)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, bins), jnp.int32),
+            jax.ShapeDtypeStruct((q, bins), jnp.int32),
+        ],
+        interpret=interpret,
+    )(codes_i8, node_aux_k, q_u_i8, w_fs[:, None], y_aux)
+    cat = jnp.concatenate([m1, m2], axis=1)
+    # signed monotone -> the u32 key convention (_decode_keys input)
+    return jax.lax.bitcast_convert_type(cat, jnp.uint32) ^ SIGN_U32
+
+
 # Gathered-candidate f32 elements per rerank piece (Q * piece * P): the
 # (Q, C, P) gather at large C and P would dominate HBM (e.g. 1M/960d at
 # k=100 derives C in the thousands -> an 8 GB gather); chunking candidates
@@ -296,6 +421,8 @@ def _bin_plan(size: int, want_bins: int) -> tuple[int, int]:
         return 1, size
     g = min(size // want_bins, 1 << GROUP_BITS)
     g = 1 << (g.bit_length() - 1)
+    while size % g:  # largest power of two that divides size
+        g >>= 1
     return g, size // g
 
 
@@ -349,7 +476,10 @@ def _decode_keys(cat_key, bin_base, bin_stride, top_c: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "top_c", "chunk", "n_eq", "rem", "exact_select"),
+    static_argnames=(
+        "k", "top_c", "chunk", "n_eq", "rem", "exact_select", "fused",
+        "interpret",
+    ),
 )
 def scan_search(
     arrays: ScanArrays,
@@ -365,6 +495,8 @@ def scan_search(
     n_eq: int = 1,
     rem: int = 0,
     exact_select: bool = False,
+    fused: bool = False,
+    interpret: bool = False,
 ):
     """Estimate-scan all N codes, select top_c, exact-rerank to top k.
 
@@ -406,6 +538,33 @@ def scan_search(
             cand_ids = jnp.take_along_axis(cat_ids, keep, axis=1)
         else:
             cand_ids = cat_ids
+        return _rerank(
+            arrays.raw, arrays.norm_sq, qpad, qnorm,
+            cand_ids.astype(jnp.int32), n, k,
+        )
+
+    if fused:
+        # --- Pallas fused path: whole store in one kernel, no chunking
+        # (no (Q, N) buffer ever exists, so CHUNK_ELEMENTS is moot) ---
+        bins, groups, rows_kpad = fused_bin_plan(n_pad, top_c)
+        codes_i8 = pack.unpack_codes_i8(arrays.planes, p)
+        aux_k = arrays.node_aux
+        if rows_kpad != n_pad:
+            padr = rows_kpad - n_pad
+            codes_i8 = jnp.pad(codes_i8, ((0, padr), (0, 0)))
+            # kernel-pad rows rank last through the additive aux row 0
+            aux_k = jnp.pad(aux_k, ((0, 0), (0, padr)))
+            aux_k = aux_k.at[0, n_pad:].set(PAD_SCORE)
+        cat_key = fused_scan_keys(
+            codes_i8, aux_k, q_u_i8, w_fs, y_aux, bins,
+            interpret=interpret,
+        )
+        lane = np.arange(bins, dtype=np.int32)
+        bin_base = jnp.asarray(np.tile(lane, 2))
+        bin_stride = jnp.asarray(np.full(2 * bins, bins, np.int32))
+        cand_ids = _decode_keys(cat_key, bin_base, bin_stride, top_c)
+        # ids in [n, rows_kpad) decode from pad rows; _rerank prices any
+        # id >= n at FLOAT_MAX and maps it to -1
         return _rerank(
             arrays.raw, arrays.norm_sq, qpad, qnorm,
             cand_ids.astype(jnp.int32), n, k,
@@ -614,19 +773,41 @@ def _rank_counts(
     const_t = jnp.einsum("qa,aqt->qt", y_aux, aux_t[:5])
     est_t = const_t + w_fs[:, None] * aux_t[5] * fs_t         # (Q, T)
 
-    # bound the (Q, T, chunk) bool comparison buffer to ~1 GB
+    # bound the (Q, T, chunk) bool comparison buffer to ~1 GB; chunks
+    # roll through a lax.scan (an unrolled python loop would inline
+    # hundreds of chunk bodies at 10M rows and explode compile time)
     q, t = est_t.shape
     max_rows = max(256, (1 << 30) // max(q * t, 1))
+    cs = min(n_pad, max_rows // 256 * 256)
+    n_eqc = n_pad // cs
+    rem = n_pad - n_eqc * cs
     counts = jnp.zeros(est_t.shape, jnp.int32)
-    for start, size in _chunk_slices(n_pad, max_rows):
-        planes_c = jax.lax.slice_in_dim(arrays.planes, start,
-                                        start + size, axis=0)
-        aux_c = jax.lax.slice_in_dim(arrays.node_aux, start,
-                                     start + size, axis=1)
-        score = _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
-        counts = counts + jnp.sum(
-            score[:, None, :] <= est_t[:, :, None], axis=2, dtype=jnp.int32
+
+    def count_in(score):
+        return jnp.sum(
+            score[:, None, :] <= est_t[:, :, None], axis=2,
+            dtype=jnp.int32,
         )
+
+    if n_eqc > 0:
+        b, w = arrays.planes.shape[1:]
+        planes_s = arrays.planes[: n_eqc * cs].reshape(n_eqc, cs, b, w)
+        aux_s = (arrays.node_aux[:, : n_eqc * cs]
+                 .reshape(6, n_eqc, cs).transpose(1, 0, 2))
+
+        def body(acc, xs):
+            planes_c, aux_c = xs
+            score = _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
+            return acc + count_in(score), None
+
+        counts, _ = jax.lax.scan(body, counts, (planes_s, aux_s))
+    if rem:
+        planes_c = jax.lax.slice_in_dim(arrays.planes, n_eqc * cs,
+                                        n_pad, axis=0)
+        aux_c = jax.lax.slice_in_dim(arrays.node_aux, n_eqc * cs,
+                                     n_pad, axis=1)
+        score = _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p)
+        counts = counts + count_in(score)
     return counts
 
 

@@ -235,3 +235,34 @@ def test_k_exceeds_n(rng):
     assert np.isfinite(dists[:, :300]).all()
     # self-match must surface at rank 0 with distance ~0
     assert (ids[:, 0] == np.arange(8)).all()
+
+
+def test_fused_kernel_matches_xla_path(rng):
+    """The Pallas fused scan+select (interpret mode on CPU) must return
+    the same candidates/results as the chunked XLA path (scores differ
+    by ~1 ulp of FMA rounding, so compare the reranked output sets)."""
+    base, idx = _build(rng, n=3000, dim=32, bits=1)
+    queries = base[rng.choice(3000, 64, replace=False)] + 0.05
+    qpad = jnp.asarray(queries)
+    n_pad = idx._arrays.raw.shape[0]
+    chunk, n_eq, rem = scan.chunk_plan(n_pad, 64)
+    aff_a, aff_b, n_dev = idx._dev_scalars
+    kw = dict(
+        kappa=1.0, k=10, top_c=min(idx._budget.top_c(10, 3000), chunk),
+        chunk=chunk, n_eq=n_eq, rem=rem,
+    )
+    ids_x, d_x = scan.scan_search(
+        idx._arrays, qpad, idx._signs, aff_a, aff_b, n_dev, **kw
+    )
+    ids_f, d_f = scan.scan_search(
+        idx._arrays, qpad, idx._signs, aff_a, aff_b, n_dev,
+        fused=True, interpret=True, **kw
+    )
+    ids_x, ids_f = np.asarray(ids_x), np.asarray(ids_f)
+    overlap = (ids_x[:, :, None] == ids_f[:, None, :]).any(-1).mean()
+    assert overlap > 0.99, f"fused/xla candidate overlap {overlap}"
+    # distances of the agreeing entries are identical (exact rerank)
+    agree = ids_x == ids_f
+    np.testing.assert_allclose(
+        np.asarray(d_x)[agree], np.asarray(d_f)[agree], rtol=1e-6
+    )
