@@ -183,6 +183,13 @@ class ScanIndex:
         raw, norm_sq = scan.pad_store_and_norms(
             vecs_d, rows=n_pad, cols=self._padded
         )
+        jax.block_until_ready(norm_sq)
+        np.asarray(norm_sq[:1])  # force (block is a no-op on axon)
+        # drop the unpadded staging copy NOW: at 10M x 96d it is 3.8 GB
+        # that must not live alongside raw + the encode intermediates
+        self._vectors_dev = None
+        self._vectors_host = None
+        del vecs_d
         centroid = quantize.compute_centroid(raw[:n])
         rot_centroid = hadamard.rotate(centroid, self._signs)
         kappa = float((1 << self._bits) - 1)

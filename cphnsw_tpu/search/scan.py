@@ -547,14 +547,17 @@ def scan_search(
         # --- Pallas fused path: whole store in one kernel, no chunking
         # (no (Q, N) buffer ever exists, so CHUNK_ELEMENTS is moot) ---
         bins, groups, rows_kpad = fused_bin_plan(n_pad, top_c)
-        codes_i8 = pack.unpack_codes_i8(arrays.planes, p)
+        planes_k = arrays.planes
         aux_k = arrays.node_aux
         if rows_kpad != n_pad:
             padr = rows_kpad - n_pad
-            codes_i8 = jnp.pad(codes_i8, ((0, padr), (0, 0)))
+            # pad the PACKED planes (32x smaller) before unpacking so
+            # only one store-sized int8 buffer ever exists
+            planes_k = jnp.pad(planes_k, ((0, padr), (0, 0), (0, 0)))
             # kernel-pad rows rank last through the additive aux row 0
             aux_k = jnp.pad(aux_k, ((0, 0), (0, padr)))
             aux_k = aux_k.at[0, n_pad:].set(PAD_SCORE)
+        codes_i8 = pack.unpack_codes_i8(planes_k, p)
         cat_key = fused_scan_keys(
             codes_i8, aux_k, q_u_i8, w_fs, y_aux, bins,
             interpret=interpret,

@@ -214,25 +214,35 @@ def make_synthetic(
         key = (f"{name}-{n}-{dim}-{n_queries}-{gt_k}-{n_clusters}-"
                f"{seed}-dev")
         cpath = Path(cache_dir) / f"{key}.npz" if cache_dir else None
-        base_dev, queries = _device_synthetic(
-            n, dim, n_queries, n_clusters, seed
-        )
+        # the device store is handed out as a REGENERATING factory, not a
+        # held array: keeping a multi-GB base_dev alive alongside a built
+        # index OOMs the chip at 10M scale, while regeneration from the
+        # deterministic PRNG costs seconds
+        def base_dev_factory():
+            b, _ = _device_synthetic(n, dim, n_queries, n_clusters, seed)
+            return b
+
         if cpath is not None and cpath.exists():
             with np.load(cpath) as z:
                 return {
                     "base": z["base"], "queries": z["queries"],
                     "groundtruth": z["groundtruth"], "dim": int(z["dim"]),
-                    "metric": metric, "base_dev": base_dev,
+                    "metric": metric, "base_dev_factory": base_dev_factory,
                 }
+        base_dev, queries = _device_synthetic(
+            n, dim, n_queries, n_clusters, seed
+        )
         gt = _device_groundtruth(base_dev, queries, gt_k, metric=metric)
         base = np.asarray(base_dev)  # host copy (eval ADR + cache)
+        del base_dev
         if cpath is not None:
             Path(cache_dir).mkdir(parents=True, exist_ok=True)
             np.savez(cpath, base=base, queries=queries, groundtruth=gt,
                      dim=dim)
         return {
             "base": base, "queries": queries, "groundtruth": gt,
-            "dim": dim, "metric": metric, "base_dev": base_dev,
+            "dim": dim, "metric": metric,
+            "base_dev_factory": base_dev_factory,
         }
 
     if cache_dir:

@@ -138,15 +138,22 @@ def _timed_passes(search, queries, n_runs, profile_dir=None):
 
 def bench_one_case(
     base, queries, truth, *, dim, bits, k, n_runs, profile_dir=None,
-    engine="auto", metric="l2", base_dev=None,
+    engine="auto", metric="l2", base_dev_factory=None,
 ) -> CaseResult:
     gc.collect()
     rss_at_start = resident_mb()
     build_begin = time.perf_counter()
     index = CPIndex(dim=dim, bits=bits, engine=engine, metric=metric)
-    # a device-resident copy of the store (when the dataset was generated
-    # on-device) skips the multi-GB host->device upload
-    index.build(base if base_dev is None else base_dev)
+    # a device-resident copy of the store (when the dataset generates
+    # on-device) skips the multi-GB host->device upload; it is created
+    # here and dropped right after build so it never lives alongside the
+    # finalized index
+    if base_dev_factory is not None and engine != "graph":
+        base_dev = base_dev_factory()
+        index.build(base_dev)
+        del base_dev
+    else:
+        index.build(base)
     index.finalize()
     build_seconds = time.perf_counter() - build_begin
     gc.collect()
@@ -202,7 +209,7 @@ def run_benchmark(
             ds["base"], ds["queries"], truth,
             dim=ds["dim"], bits=bits, k=k, n_runs=n_runs,
             profile_dir=profile_dir, engine=engine, metric=metric,
-            base_dev=ds.get("base_dev"),
+            base_dev_factory=ds.get("base_dev_factory"),
         )
         for bits in (bit_widths or DEFAULT_BITS)
     ]
