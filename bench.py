@@ -33,7 +33,7 @@ os.environ.setdefault(
 import numpy as np
 
 
-def timed_qps(index, queries, k, n_runs=3):
+def timed_qps(index, queries, k, n_runs=5):
     index.search_batch(queries, k=k)  # warmup/compile
     times = []
     for _ in range(n_runs):
