@@ -439,10 +439,14 @@ def _binned_keys(score, g: int, bins: int):
     within a bin (distinct group indices), so the masked re-reduce
     yields the exact second minimum."""
     q = score.shape[0]
-    keys = _monotone_u32(score) & ~GROUP_MASK
     if g == 1:
-        return keys
-    keys = keys.reshape(q, g, bins)
+        # exact per-row path: keep FULL key precision (no group index
+        # needed — callers decode g==1 chunks with stride 0, so the low
+        # bits never reach the id arithmetic).  Masking here would
+        # create estimate ties that break the "per-shard selection is a
+        # superset of global" exactness the sharded merge relies on.
+        return _monotone_u32(score)
+    keys = (_monotone_u32(score) & ~GROUP_MASK).reshape(q, g, bins)
     gidx = jax.lax.broadcasted_iota(jnp.uint32, (q, g, bins), 1)
     keys = keys | gidx
     m1 = jnp.min(keys, axis=1)
@@ -584,7 +588,8 @@ def scan_search(
     lane_eq = np.tile(
         np.arange(bins_eq, dtype=np.int32), 1 if g_eq == 1 else 2
     )
-    stride_eq = np.full(lane_eq.shape, bins_eq, np.int32)
+    stride_eq = np.full(lane_eq.shape, 0 if g_eq == 1 else bins_eq,
+                        np.int32)
 
     def eq_chunk_keys(start):
         return _binned_keys(chunk_score(start, chunk), g_eq, bins_eq)
@@ -620,7 +625,9 @@ def scan_search(
             np.arange(bins_r, dtype=np.int32), 1 if g_r == 1 else 2
         )
         base_parts.append(n_eq * chunk + lane_r)
-        stride_parts.append(np.full(lane_r.shape, bins_r, np.int32))
+        stride_parts.append(
+            np.full(lane_r.shape, 0 if g_r == 1 else bins_r, np.int32)
+        )
 
     cat_key = (keys_parts[0] if len(keys_parts) == 1
                else jnp.concatenate(keys_parts, axis=1))

@@ -241,7 +241,9 @@ def test_sharded_scan_save_load(rng, tmp_path):
     loaded = sharded.ShardedScanIndex(dim, bits=2).load(path, mesh)
     ids_b, d_b = loaded.search_batch(queries, k=5)
     np.testing.assert_array_equal(ids_a, ids_b)
-    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+    # atol: load recomputes norm_sq in a different (fused) program than
+    # build, so near-zero self-distances carry ~1-ulp accumulation noise
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6, atol=1e-4)
 
 
 def test_sharded_index_save_load(sharded_facade, rng, tmp_path):
