@@ -266,3 +266,26 @@ def test_fused_kernel_matches_xla_path(rng):
     np.testing.assert_allclose(
         np.asarray(d_x)[agree], np.asarray(d_f)[agree], rtol=1e-6
     )
+
+
+def test_build_from_device_array(rng):
+    """build() accepts a device-resident jax.Array (the no-upload path
+    used for on-device generated stores) and produces the same index as
+    the host path."""
+    base = make_clustered(rng, n=2000, dim=24)
+    queries = base[rng.choice(2000, 32, replace=False)] + 0.05
+    h = ScanIndex(24, bits=1).build(base).finalize()
+    d = ScanIndex(24, bits=1).build(jnp.asarray(base)).finalize()
+    ids_h, d_h = h.search_batch(queries, k=10)
+    ids_d, d_d = d.search_batch(queries, k=10)
+    np.testing.assert_array_equal(ids_h, ids_d)
+    np.testing.assert_allclose(d_h, d_d, rtol=1e-6, atol=1e-5)
+
+    # ip metric through the device path (augmented column on device)
+    hi = ScanIndex(24, bits=1, metric="ip").build(base).finalize()
+    di = ScanIndex(24, bits=1, metric="ip").build(
+        jnp.asarray(base)
+    ).finalize()
+    s_h = hi.search_batch(queries, k=5)
+    s_d = di.search_batch(queries, k=5)
+    np.testing.assert_array_equal(s_h[0], s_d[0])
