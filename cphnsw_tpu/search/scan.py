@@ -87,13 +87,13 @@ NP_NOT_GROUP_I32 = np.int32(~((1 << GROUP_BITS) - 1))
 NP_I32_MAX = np.int32(0x7FFFFFFF)
 BIN_FACTOR = 8
 BINS_MIN = 2048
-# Score-buffer budget per chunk in f32 elements (Q * chunk <= this).
-# The peak per chunk is ~3x this buffer: the int32 fs matmul output and
-# the f32 const_part are same-shaped intermediates that XLA materializes
-# alongside the final score (ADVICE r2), so 2^28 elements = 1 GB buffer
-# => ~3 GB peak, leaving room on a 16 GB v5e for codes + raw vectors +
-# the candidate gather even at 1M x 1024-dim.  (100k rows x <=2048-query
-# sub-batches still scan as a single chunk.)
+# Score-buffer budget per chunk in f32 elements (Q * chunk <= this) for
+# the XLA fallback path.  The peak per chunk is ~2-3x this buffer (the
+# int32 fs matmul output materializes alongside the fused score/key
+# chain), so 2^28 elements = 1 GB buffer => ~3 GB peak, leaving room on
+# a 16 GB v5e for codes + raw vectors + the candidate gather even at
+# 1M x 1024-dim.  The Pallas fused path ignores this entirely (no
+# (Q, N) buffer exists).
 CHUNK_ELEMENTS = 1 << 28
 MIN_CHUNK = 1 << 15
 # Chunks are unrolled as static slices inside the jit (one final merge,

@@ -237,18 +237,20 @@ def test_k_exceeds_n(rng):
     assert (ids[:, 0] == np.arange(8)).all()
 
 
-def test_fused_kernel_matches_xla_path(rng):
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_fused_kernel_matches_xla_path(rng, bits):
     """The Pallas fused scan+select (interpret mode on CPU) must return
     the same candidates/results as the chunked XLA path (scores differ
     by ~1 ulp of FMA rounding, so compare the reranked output sets)."""
-    base, idx = _build(rng, n=3000, dim=32, bits=1)
+    base, idx = _build(rng, n=3000, dim=32, bits=bits)
     queries = base[rng.choice(3000, 64, replace=False)] + 0.05
     qpad = jnp.asarray(queries)
     n_pad = idx._arrays.raw.shape[0]
     chunk, n_eq, rem = scan.chunk_plan(n_pad, 64)
     aff_a, aff_b, n_dev = idx._dev_scalars
     kw = dict(
-        kappa=1.0, k=10, top_c=min(idx._budget.top_c(10, 3000), chunk),
+        kappa=float((1 << bits) - 1), k=10,
+        top_c=min(idx._budget.top_c(10, 3000), chunk),
         chunk=chunk, n_eq=n_eq, rem=rem,
     )
     ids_x, d_x = scan.scan_search(
