@@ -87,6 +87,11 @@ def main():
         json.dumps(
             {
                 "metric": "qps_at_recall10_synth100k_128d_1bit",
+                # the operating point moved from Q=1024 to the Q=8192
+                # serving batch in round 4; the explicit batch_size field
+                # keeps longitudinal comparisons honest (ADVICE r4)
+                "batch_size": 8192,
+                "recall_at_10": round(float(r10), 4),
                 "value": round(qps, 1),
                 "unit": f"qps@8192q serving batch (recall@10={r10:.4f}; "
                 f"qps@1024q={qps_small:.0f} @ recall "

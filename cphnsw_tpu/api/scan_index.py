@@ -34,10 +34,14 @@ ENCODE_CHUNK = 1 << 17  # rows per encode dispatch (bounds HBM intermediates)
 # Queries are uploaded and searched in fixed sub-batches so the host->device
 # transfer of sub-batch i+1 overlaps the scan of sub-batch i (dispatch is
 # async; the remote tunnel moves ~20-40 MB/s, so an 8192x128 batch alone
-# costs >50 ms serialized — pipelining hides it behind compute).  512 was
-# the best point of a {512..8192} sweep at Q=8192 on 100k x 128d
-# (exp/scan_opsweep2.py: 36.7k qps vs 34.3k at 2048, 23k at 8192).
-SEARCH_SUB_BATCH = 512
+# costs >50 ms serialized — pipelining hides it behind compute), and the
+# result download of sub-batch i (copy_to_host_async) overlaps the upload
+# of i+1 on the full-duplex link.  2048 was the best point of the round-5
+# {128..8192} sweep at Q=8192 on 100k x 128d after the decode-gather fix
+# (exp/r5_stage512.py + results/r5_headline_variants.json: ~63k qps vs
+# 55k at 512, 39k at 8192); per-sub device compute is now ~3-8 ms so
+# dispatch overhead — not compute shape — penalizes small sub-batches.
+SEARCH_SUB_BATCH = 2048
 # Queries cross the host->device link as f16 and are cast back to f32 on
 # device (everything downstream, including the exact rerank, computes in
 # f32 from the f16-rounded query).  The link is the search bottleneck
@@ -47,6 +51,15 @@ SEARCH_SUB_BATCH = 512
 # NN-distance scale — two orders below top-k boundary gaps (recall
 # measured unchanged to 4 decimal places on the 100k proxy).
 QUERY_WIRE_DTYPE = np.float16
+
+
+@jax.jit
+def _pack_pair(ids, dists):
+    """(Q, k) ids + f32 dists -> one (2, Q, k) int32 array so each
+    sub-batch's result crosses the tunnel as a single buffer."""
+    return jnp.stack(
+        [ids, jax.lax.bitcast_convert_type(dists, jnp.int32)], 0
+    )
 
 
 class ScanIndex:
@@ -314,8 +327,12 @@ class ScanIndex:
                 plan.append((s, rem_q, bucket))
                 s = nq
         # dispatch every sub-batch without syncing: upload(i+1) overlaps
-        # scan(i) on the device
-        outs = []
+        # scan(i) on the device, and each sub-batch's packed result starts
+        # its device->host copy (copy_to_host_async) as soon as its scan
+        # is dispatched, so downloads ride the full-duplex tunnel UNDER
+        # the next sub-batch's upload instead of serializing at the end
+        # (measured: 115 ms vs 131 ms for the 8192-query batch at 100k).
+        packs = []
         for start, rows, padded in plan:
             q_sub = queries[start:start + rows]
             if padded != rows:
@@ -331,18 +348,19 @@ class ScanIndex:
                 k=k_eff, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
                 fused=self._use_fused(),
             )
-            outs.append((ids_d[:rows], d_d[:rows]))
-        # pack (ids, dists) of all sub-batches into ONE device array and
-        # fetch with ONE transfer: every host<->device round trip costs
-        # ~30 ms on the tunnel.
-        packed_dev = jnp.concatenate(
-            [jnp.stack([i, jax.lax.bitcast_convert_type(d, jnp.int32)], 0)
-             for i, d in outs],
-            axis=1,
-        )
-        packed = np.asarray(packed_dev)
-        ids = packed[0, :nq].astype(np.int64)
-        dists = packed[1, :nq].view(np.float32)
+            p = _pack_pair(ids_d, d_d)
+            try:
+                p.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass  # backends without async host copies fetch below
+            packs.append((p, rows))
+        ids_l, dists_l = [], []
+        for p, rows in packs:
+            arr = np.asarray(p)
+            ids_l.append(arr[0, :rows])
+            dists_l.append(arr[1, :rows])
+        ids = np.concatenate(ids_l).astype(np.int64)
+        dists = np.concatenate(dists_l).view(np.float32)
         if self._metric == "ip":
             qn = (queries[:nq, : self._dim] ** 2).sum(1, keepdims=True)
             dists = np.where(
