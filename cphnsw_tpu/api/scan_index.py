@@ -204,27 +204,10 @@ class ScanIndex:
         self._vectors_host = None
         del vecs_d
         centroid = quantize.compute_centroid(raw[:n])
-        rot_centroid = hadamard.rotate(centroid, self._signs)
         kappa = float((1 << self._bits) - 1)
-
-        planes_l, nops, qos, cps, wpcs = [], [], [], [], []
-        for s in range(0, n_pad, ENCODE_CHUNK):
-            e = min(s + ENCODE_CHUNK, n_pad)
-            enc = quantize.encode_vectors(
-                raw[s:e], centroid, self._signs, self._bits
-            )
-            cbar = (2.0 * enc.u.astype(jnp.float32) - kappa) / kappa
-            ip_cp = cbar @ rot_centroid / jnp.sqrt(float(self._padded))
-            planes_l.append(pack.pack_planes(enc.u, self._bits))
-            nops.append(enc.nop)
-            qos.append(enc.ip_qo)
-            cps.append(ip_cp)
-            wpcs.append(enc.u.sum(axis=-1).astype(jnp.int32))
-        planes = jnp.concatenate(planes_l)
-        nop = jnp.concatenate(nops)
-        ip_qo = jnp.concatenate(qos)
-        ip_cp = jnp.concatenate(cps)
-        wpc = jnp.concatenate(wpcs)
+        planes, nop, ip_qo, ip_cp, wpc = scan.encode_scan_store(
+            raw, centroid, self._signs, self._bits, chunk=ENCODE_CHUNK
+        )
         jax.block_until_ready(nop)
         np.asarray(nop[:1])  # force (block_until_ready is a no-op on axon)
         _mark("encode")
@@ -428,9 +411,12 @@ class ScanIndex:
             **self._node_host,
         )
 
-    def load(self, path: str | Path):
-        """Restore; validates magic/version/dim/bits/metric/seed, commits
-        atomically (reference Index::load, hnsw_index.hpp:305-443)."""
+    def _load_host(self, path: str | Path):
+        """Parse + validate a saved index entirely HOST-side (no device
+        staging): returns (header, node_host, raw_h, centroid_h).  The
+        single-chip load stages the result onto the default device; the
+        sharded load slices it per shard and places each slice on its own
+        mesh device, so the full store never lands on one chip."""
         with np.load(path) as z:
             header = json.loads(bytes(z["header"].tobytes()).decode())
             if header.get("magic") != MAGIC:
@@ -460,7 +446,10 @@ class ScanIndex:
             )
             raw_h = np.asarray(z["raw"])
             centroid_h = np.asarray(z["centroid"])
+        return header, node_host, raw_h, centroid_h
 
+    def _apply_header(self, header):
+        """Commit the scalar fields of a validated header."""
         self._n = header["n"]
         if header["padded"] != self._padded:
             self._padded = header["padded"]
@@ -473,6 +462,13 @@ class ScanIndex:
             anchors=np.asarray(header["budget_anchors"], np.int64),
             ranks=np.asarray(header["budget_ranks"], np.int64),
         )
+        return self
+
+    def load(self, path: str | Path):
+        """Restore; validates magic/version/dim/bits/metric/seed, commits
+        atomically (reference Index::load, hnsw_index.hpp:305-443)."""
+        header, node_host, raw_h, centroid_h = self._load_host(path)
+        self._apply_header(header)
         self._node_host = node_host
         raw = jnp.asarray(raw_h)
         node_aux = scan.fold_node_constants(

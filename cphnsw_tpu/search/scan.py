@@ -134,6 +134,40 @@ def pad_store_and_norms(v, rows: int, cols: int):
     return raw, jnp.sum(raw * raw, axis=-1)
 
 
+# rows per encode dispatch (bounds the HBM transient of the CAQ
+# coordinate-descent intermediates during build)
+ENCODE_CHUNK = 1 << 17
+
+
+def encode_scan_store(raw, centroid, signs, bits: int,
+                      chunk: int = ENCODE_CHUNK):
+    """Encode a padded raw store into the scan representation.
+
+    Returns (planes, nop, ip_qo, ip_cp, wpc) device arrays for all
+    raw.shape[0] rows (pad rows encode harmlessly; their node constants
+    are overridden by fold_node_constants' PAD_SCORE).  Shared by the
+    single-chip finalize and the shard-native sharded build — each shard
+    runs this on its own row block.
+    """
+    rot_centroid = hadamard.rotate(centroid, signs)
+    kappa = float((1 << bits) - 1)
+    n_rows = raw.shape[0]
+    padded = raw.shape[1]
+    planes_l, nops, qos, cps, wpcs = [], [], [], [], []
+    for s in range(0, n_rows, chunk):
+        e = min(s + chunk, n_rows)
+        enc = quantize.encode_vectors(raw[s:e], centroid, signs, bits)
+        cbar = (2.0 * enc.u.astype(jnp.float32) - kappa) / kappa
+        ip_cp = cbar @ rot_centroid / jnp.sqrt(float(padded))
+        planes_l.append(pack.pack_planes(enc.u, bits))
+        nops.append(enc.nop)
+        qos.append(enc.ip_qo)
+        cps.append(ip_cp)
+        wpcs.append(enc.u.sum(axis=-1).astype(jnp.int32))
+    cat = jnp.concatenate
+    return (cat(planes_l), cat(nops), cat(qos), cat(cps), cat(wpcs))
+
+
 def store_pad(n: int) -> int:
     """Rows the store is padded to: next multiple of 256.  Keeping the
     dead region tiny matters — the binned-min selection assumes
@@ -652,6 +686,83 @@ def scan_search(
     )
 
 
+def calibration_samples(
+    raw: jax.Array,
+    planes: jax.Array,
+    nop: jax.Array,
+    ip_qo: jax.Array,
+    ip_cp: jax.Array,
+    wpc: jax.Array,
+    centroid: jax.Array,
+    signs: jax.Array,
+    n: int,
+    bits: int,
+    num_samples: int = 2000,
+    seed: int = 99999,
+) -> dict:
+    """Estimator calibration sample pairs from ONE store (or one shard).
+
+    Samples database rows as queries and random rows as targets, and
+    returns the host-side raw material the affine fit consumes:
+    {ip_approx, ip_qo, ip_cp, nop, true_ip} (each (num_samples,)).
+    Shards pool these before fitting (fit_scan_affine) — the fit then
+    sees the same pair distribution as a single-chip calibration.
+    """
+    rng = np.random.default_rng(seed)
+    n_s = min(num_samples, n)
+    q_ids = rng.choice(n, size=n_s, replace=False)
+    x_ids = rng.integers(0, n, size=n_s)
+
+    # numpy indexers (NOT jnp.asarray) so the gathers stay on the data's
+    # own device — the sharded build runs this per shard on that shard's
+    # mesh device, and a default-device-committed indexer would clash
+    qvecs = raw[q_ids]
+    qc = quantize.encode_queries(qvecs, signs)
+    codes = pack.unpack_planes(planes[x_ids], raw.shape[1])
+    fs = jnp.einsum("sp,sp->s", qc.q_u, codes)
+    kappa = float((1 << bits) - 1)
+    ip_approx = estimate.ip_from_fastscan(
+        fs, wpc[x_ids], qc.coeff_a, qc.coeff_b, qc.coeff_c,
+        kappa,
+    )
+    ip_qo_s = np.asarray(ip_qo)[x_ids]
+    ip_cp_s = np.asarray(ip_cp)[x_ids]
+    nop_s = np.asarray(nop)[x_ids]
+
+    centroid_h = np.asarray(centroid)
+    xvecs = np.asarray(raw[x_ids])
+    qv = np.asarray(qvecs)
+    true_ip = ((qv - centroid_h) * (xvecs - centroid_h)).sum(-1) / np.maximum(
+        nop_s, 1e-12
+    )
+    return dict(
+        ip_approx=np.asarray(ip_approx), ip_qo=ip_qo_s, ip_cp=ip_cp_s,
+        nop=nop_s, true_ip=true_ip,
+    )
+
+
+def fit_scan_affine(samples: list[dict]) -> tuple[float, float, float]:
+    """Huber-fit the affine estimator correction from pooled calibration
+    samples (reference calibrate_estimator, api/hnsw_index.hpp:718-1017:
+    affine (a, b) + MAD-fence ip_qo_floor).  Pooling the raw pairs over
+    shards (instead of median-of-fits) keeps the fit identical in law to
+    a single-chip calibration over the union sample."""
+    from cphnsw_tpu.calibration import huber
+
+    pool = {
+        k: np.concatenate([s[k] for s in samples])
+        for k in samples[0]
+    }
+    ip_qo_floor = huber.mad_lower_fence(np.abs(pool["ip_qo"]))
+    denom = np.maximum(np.abs(pool["ip_qo"]), max(ip_qo_floor, 1e-12))
+    raw_est = (pool["ip_approx"] - pool["ip_cp"]) / denom
+    good = pool["nop"] > 1e-6
+    a, b, _ = huber.fit_affine_huber(
+        raw_est[good], pool["true_ip"][good]
+    )
+    return float(a), float(b), float(ip_qo_floor)
+
+
 def calibrate_scan_affine(
     raw: jax.Array,
     planes: jax.Array,
@@ -666,47 +777,14 @@ def calibrate_scan_affine(
     num_samples: int = 2000,
     seed: int = 99999,
 ):
-    """Affine estimator correction for the scan path.
-
-    A light calibrate_estimator (reference api/hnsw_index.hpp:718-1017):
-    sample database vectors as queries, compare the raw estimator ratio
-    against the true <q - c, (x - c)/||x - c||>, Huber-fit the affine map
-    (a, b), and derive ip_qo_floor from the MAD lower fence.  Returns
-    (affine_a, affine_b, ip_qo_floor) floats.
-    """
-    from cphnsw_tpu.calibration import huber
-
-    rng = np.random.default_rng(seed)
-    n_s = min(num_samples, n)
-    q_ids = rng.choice(n, size=n_s, replace=False)
-    x_ids = rng.integers(0, n, size=n_s)
-
-    qvecs = raw[jnp.asarray(q_ids)]
-    qc = quantize.encode_queries(qvecs, signs)
-    codes = pack.unpack_planes(planes[jnp.asarray(x_ids)], raw.shape[1])
-    fs = jnp.einsum("sp,sp->s", qc.q_u, codes)
-    kappa = float((1 << bits) - 1)
-    ip_approx = estimate.ip_from_fastscan(
-        fs, wpc[jnp.asarray(x_ids)], qc.coeff_a, qc.coeff_b, qc.coeff_c,
-        kappa,
+    """Affine estimator correction for the scan path: single-store
+    composition of calibration_samples + fit_scan_affine.  Returns
+    (affine_a, affine_b, ip_qo_floor) floats."""
+    s = calibration_samples(
+        raw, planes, nop, ip_qo, ip_cp, wpc, centroid, signs, n, bits,
+        num_samples=num_samples, seed=seed,
     )
-    ip_qo_s = np.asarray(ip_qo)[x_ids]
-    ip_cp_s = np.asarray(ip_cp)[x_ids]
-    nop_s = np.asarray(nop)[x_ids]
-
-    centroid_h = np.asarray(centroid)
-    xvecs = np.asarray(raw[jnp.asarray(x_ids)])
-    qv = np.asarray(qvecs)
-    true_ip = ((qv - centroid_h) * (xvecs - centroid_h)).sum(-1) / np.maximum(
-        nop_s, 1e-12
-    )
-
-    ip_qo_floor = huber.mad_lower_fence(np.abs(ip_qo_s))
-    denom = np.maximum(np.abs(ip_qo_s), max(ip_qo_floor, 1e-12))
-    raw_est = (np.asarray(ip_approx) - ip_cp_s) / denom
-    good = nop_s > 1e-6
-    a, b, _ = huber.fit_affine_huber(raw_est[good], true_ip[good])
-    return float(a), float(b), float(ip_qo_floor)
+    return fit_scan_affine([s])
 
 
 # --------------------------------------------------------------------------
@@ -770,29 +848,46 @@ def _true_topk_chunked(raw, norm_sq, qpad, qnorm, n, k):
 
 
 @functools.partial(jax.jit, static_argnames=("kappa",))
-def _rank_counts(
+def est_scores_of(
     arrays: ScanArrays,
     qpad,
-    true_ids,        # (Q, T) true top-k ids whose est ranks we measure
+    ids,             # (Q, T) LOCAL row ids to score
     signs,
     affine_a,
     affine_b,
     kappa: float,
 ):
-    """Per (query, true neighbor): #nodes whose est score <= that
-    neighbor's est score = the candidate-list size needed to capture it."""
+    """Folded ranking score of specific store rows per query (Q, T) —
+    the same quantity _chunk_scores computes for whole chunks, gathered
+    for arbitrary rows.  The sharded budget derivation scores each true
+    neighbor on its home shard with this."""
     n_pad, p = arrays.raw.shape
     qc, w_fs, y_aux = _query_side(qpad, signs, affine_a, affine_b, kappa)
-    q_u_i8 = qc.q_u.astype(jnp.int8)
-
-    # est score of each true neighbor: gather packed code rows + aux cols.
-    codes_t = pack.unpack_planes(arrays.planes[true_ids], p)  # (Q, T, P)
+    codes_t = pack.unpack_planes(arrays.planes[ids], p)       # (Q, T, P)
     fs_t = jnp.einsum(
         "qtp,qp->qt", codes_t, qc.q_u.astype(jnp.int32)
     ).astype(jnp.float32)
-    aux_t = arrays.node_aux[:, true_ids]                      # (6, Q, T)
+    aux_t = arrays.node_aux[:, ids]                           # (6, Q, T)
     const_t = jnp.einsum("qa,aqt->qt", y_aux, aux_t[:5])
-    est_t = const_t + w_fs[:, None] * aux_t[5] * fs_t         # (Q, T)
+    return const_t + w_fs[:, None] * aux_t[5] * fs_t          # (Q, T)
+
+
+@functools.partial(jax.jit, static_argnames=("kappa",))
+def count_leq(
+    arrays: ScanArrays,
+    qpad,
+    est_t,           # (Q, T) score thresholds
+    signs,
+    affine_a,
+    affine_b,
+    kappa: float,
+):
+    """Per (query, threshold): #store rows whose folded score <= est_t.
+    Summed across shards this is the global estimate rank of each
+    threshold row — the candidate-list size needed to capture it."""
+    n_pad, p = arrays.raw.shape
+    qc, w_fs, y_aux = _query_side(qpad, signs, affine_a, affine_b, kappa)
+    q_u_i8 = qc.q_u.astype(jnp.int8)
 
     # bound the (Q, T, chunk) bool comparison buffer to ~1 GB; chunks
     # roll through a lax.scan (an unrolled python loop would inline
@@ -887,27 +982,37 @@ def derive_candidate_budget(
         true_ids, _ = _true_topk_chunked(
             arrays.raw, arrays.norm_sq, qpad, qnorm, jnp.asarray(n), k_max
         )
+        a_dev = jnp.asarray(affine_a, jnp.float32)
+        b_dev = jnp.asarray(affine_b, jnp.float32)
+        est_t = est_scores_of(
+            arrays, qpad, true_ids, signs, a_dev, b_dev, float(kappa)
+        )
         counts = np.asarray(
-            _rank_counts(
-                arrays, qpad, true_ids, signs,
-                jnp.asarray(affine_a, jnp.float32),
-                jnp.asarray(affine_b, jnp.float32),
-                float(kappa),
-            )
+            count_leq(arrays, qpad, est_t, signs, a_dev, b_dev, float(kappa))
         )
-        per_cohort.append(
-            np.asarray(
-                [
-                    np.ceil(
-                        np.quantile(counts[:, :a], RANK_QUANTILE)
-                        * RANK_SAFETY
-                    )
-                    for a in anchors
-                ],
-                np.int64,
-            )
-        )
-    ranks = np.maximum(*per_cohort) if len(per_cohort) > 1 else per_cohort[0]
+        per_cohort.append(ranks_from_counts(counts, anchors))
+    return budget_from_cohorts(per_cohort, anchors)
+
+
+def ranks_from_counts(counts: np.ndarray, anchors) -> np.ndarray:
+    """Per-anchor top_c from the (Q, k_max) estimate-rank counts: the
+    RANK_QUANTILE tail of per-neighbor ranks times RANK_SAFETY."""
+    return np.asarray(
+        [
+            np.ceil(np.quantile(counts[:, :a], RANK_QUANTILE) * RANK_SAFETY)
+            for a in anchors
+        ],
+        np.int64,
+    )
+
+
+def budget_from_cohorts(per_cohort: list, anchors) -> CandidateBudget:
+    """Per-anchor max over cohorts, floored at the anchor itself and made
+    monotone in k."""
+    ranks = (
+        np.maximum.reduce(per_cohort) if len(per_cohort) > 1
+        else per_cohort[0]
+    )
     ranks = np.maximum.accumulate(np.maximum(ranks, np.asarray(anchors)))
     return CandidateBudget(
         anchors=np.asarray(anchors, np.int64), ranks=ranks
