@@ -128,8 +128,13 @@ class ScanIndex:
             self._n = int(vectors.shape[0])
             vecs_d = vectors.astype(jnp.float32)
             if self._metric == "ip":
-                norms_sq = jnp.sum(vecs_d.astype(jnp.float64) ** 2, axis=1)
-                bound_sq = float(jnp.max(norms_sq))
+                # deliberately f32 (x64 is disabled on TPU; a float64
+                # astype would silently truncate) with the bound inflated
+                # by a relative epsilon so max(bound - norms, 0) never
+                # clips a genuine row to zero augmentation the way f32
+                # rounding of the max row could (ADVICE r4)
+                norms_sq = jnp.sum(vecs_d * vecs_d, axis=1)
+                bound_sq = float(jnp.max(norms_sq)) * (1.0 + 1e-6)
                 self._ip_norm_bound = bound_sq
                 aug = jnp.sqrt(
                     jnp.maximum(bound_sq - norms_sq, 0.0)

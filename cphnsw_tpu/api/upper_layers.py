@@ -154,6 +154,35 @@ def _bridge_components(sub_raw, sub_norm, sel, entry_local: int) -> jax.Array:
             a, b = int(idx[i]), int(r_idx[j])
             place(b, a)  # reached -> unreached: makes the region reachable
             place(a, b)  # back edge keeps descent able to leave again
+    else:
+        # budget exhausted with nodes possibly still unreachable (slot
+        # rotation can disconnect an earlier bridge): force direct
+        # entry -> node edges (up to the entry row's degree) rather than
+        # returning a layer that strands greedy descent — the exact
+        # failure this function exists to prevent (ADVICE r4)
+        import warnings
+
+        for _ in range(deg):
+            reached = np.zeros(n_l, bool)
+            reached[entry_local] = True
+            frontier = np.array([entry_local])
+            while frontier.size:
+                out = sel_np[frontier].ravel()
+                out = out[out >= 0]
+                nxt = np.unique(out)
+                nxt = nxt[~reached[nxt]]
+                reached[nxt] = True
+                frontier = nxt
+            missing = np.where(~reached)[0]
+            if missing.size == 0:
+                break
+            place(entry_local, int(missing[0]))
+        else:
+            warnings.warn(
+                "upper-layer bridging exhausted its budget with nodes "
+                "still unreachable from the entry; descent may start "
+                "suboptimally on this layer", RuntimeWarning,
+            )
     return jnp.asarray(sel_np)
 
 

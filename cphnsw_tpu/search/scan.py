@@ -345,10 +345,13 @@ def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
     q = q_u_i8.shape[0]
     groups = rows_kpad // bins
     bq = min(256, q)
-    bn = 512
-    assert bins % bn == 0 and q % bq == 0 and rows_kpad % bins == 0
     if p >= 1024:  # keep VMEM blocks comfortable at high dim
         bq = min(bq, 128)
+    bn = 512
+    # the q % bq check must come AFTER every bq adjustment: a passing
+    # assert followed by a bq change would let grid q // bq truncate and
+    # silently never write rows beyond bq * (q // bq) (ADVICE r4)
+    assert bins % bn == 0 and q % bq == 0 and rows_kpad % bins == 0
     nb = bins // bn
 
     m1, m2 = pl.pallas_call(

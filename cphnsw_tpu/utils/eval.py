@@ -47,6 +47,11 @@ class CaseResult:
     qps: float
     median_latency_us: float
     build_stages_s: dict | None = None
+    # the derived (parameterless) search budget actually used for this
+    # case: scan engine -> top_c at the evaluated k + the full anchor
+    # table; graph engine -> the step budget.  Recorded so large-N cost
+    # anomalies are diagnosable from the artifact alone (VERDICT r4).
+    search_budget: dict | None = None
 
 
 def recall_at_k(found: np.ndarray, truth: np.ndarray, k: int) -> float:
@@ -75,8 +80,19 @@ def average_distance_ratio(
         return np.where(ids[:, :k] >= 0, d, np.inf)
 
     if metric == "ip":
-        num = np.maximum(sq_dists(truth), np.finfo(np.float64).tiny)
-        den = np.maximum(sq_dists(found), np.finfo(np.float64).tiny)
+        # inner-product scores can be <= 0, where a clamped ratio would
+        # report ~1.0 (perfect) for arbitrarily bad results (ADVICE r4).
+        # Shift both sides by a common positive offset derived from the
+        # observed score range so the ratio stays orientation-correct
+        # (1.0 = perfect, > 1 worse) for any sign of the scores; missing
+        # (-inf) found scores still blow the ratio up as intended.
+        num = sq_dists(truth)
+        den = sq_dists(found)
+        lo = min(num.min(), den[np.isfinite(den)].min(initial=np.inf))
+        span = num.max() - lo
+        offset = -lo + max(span, 1.0) * 1e-3
+        num = num + offset
+        den = np.maximum(den + offset, np.finfo(np.float64).tiny)
         return float(np.mean(num / den))
     denom = np.maximum(sq_dists(truth), np.finfo(np.float64).tiny)
     return float(np.mean(sq_dists(found) / denom))
@@ -150,10 +166,14 @@ def bench_one_case(
     # finalized index
     if base_dev_factory is not None and engine != "graph":
         base_dev = base_dev_factory()
+        stage_mark = time.perf_counter()
         index.build(base_dev)
         del base_dev
     else:
+        stage_mark = time.perf_counter()
         index.build(base)
+    stage_seconds = time.perf_counter() - stage_mark
+    synth_seconds = stage_mark - build_begin  # device store regeneration
     index.finalize()
     build_seconds = time.perf_counter() - build_begin
     gc.collect()
@@ -181,10 +201,41 @@ def bench_one_case(
         ),
         qps=round(len(queries) / median_s, 1),
         median_latency_us=round(median_s / len(queries) * 1e6, 2),
-        build_stages_s=getattr(
-            getattr(index, "_index", index), "build_stages", None
+        build_stages_s=_full_build_stages(
+            index, synth_seconds, stage_seconds, build_seconds
         ),
+        search_budget=_search_budget(index, k),
     )
+
+
+def _full_build_stages(index, synth_s, stage_s, total_s) -> dict:
+    """Whole-build stage table (VERDICT r4 item 8): device store
+    synthesis + build() staging + every finalize stage + the residual,
+    so the stage sum always reconciles with build_time_s."""
+    stages = {"device_synthesis": round(synth_s, 2),
+              "stage_vectors": round(stage_s, 2)}
+    inner = getattr(index, "_index", index)
+    stages.update(getattr(inner, "build_stages", None) or {})
+    accounted = sum(stages.values())
+    stages["unattributed"] = round(max(total_s - accounted, 0.0), 2)
+    return stages
+
+
+def _search_budget(index, k: int) -> dict | None:
+    """The derived search budget the case actually ran with."""
+    inner = getattr(index, "_index", index)
+    budget = getattr(inner, "_budget", None)
+    if budget is not None:  # scan engine: candidate budget
+        n = inner.size
+        return {
+            "top_c_at_k": int(budget.top_c(min(k, n), n)),
+            "anchors": budget.anchors.tolist(),
+            "ranks": budget.ranks.tolist(),
+        }
+    sb = getattr(inner, "_step_budget", None)
+    if sb:  # graph engine: beam step budget
+        return {"step_budget": {str(a): int(v) for a, v in sb.items()}}
+    return None
 
 
 def run_benchmark(
