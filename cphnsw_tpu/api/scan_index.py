@@ -54,6 +54,11 @@ QUERY_WIRE_DTYPE = np.float16
 
 
 @jax.jit
+def _to_bf16(raw):
+    return raw.astype(jnp.bfloat16)
+
+
+@jax.jit
 def _pack_pair(ids, dists):
     """(Q, k) ids + f32 dists -> one (2, Q, k) int32 array so each
     sub-batch's result crosses the tunnel as a single buffer."""
@@ -254,6 +259,7 @@ class ScanIndex:
         self._vectors_dev = None
         self._needs_build = False
         self._finalized = True
+        self._raw16 = None  # lazy bf16 rerank copy; invalidated per build
         _mark("stage_host_copies")
         self.build_stages = stages
         return self
@@ -296,6 +302,16 @@ class ScanIndex:
         n_pad = self._arrays.raw.shape[0]
         top_c_k = self._budget.top_c(k_eff, self._n)
         aff_a, aff_b, n_dev = self._dev_scalars
+        # two-stage rerank for budget blowups (e.g. 10M 1-bit derives
+        # top_c ~26k): a bf16 at-rest copy of raw halves the stage-1
+        # gather traffic; created lazily the first time a search's
+        # candidate budget crosses the threshold, never for small-budget
+        # indexes (where single-stage f32 is exact AND faster)
+        raw16 = None
+        if top_c_k >= scan.TWO_STAGE_MIN_C:
+            if getattr(self, "_raw16", None) is None:
+                self._raw16 = _to_bf16(self._arrays.raw)
+            raw16 = self._raw16
         # Sub-batch plan: full SEARCH_SUB_BATCH slices, then the tail
         # rounded up to its own power-of-two bucket (>= 64) instead of a
         # full extra sub-batch — nq=2049 costs one 2048 scan + one 64
@@ -334,7 +350,7 @@ class ScanIndex:
                 self._arrays, q_dev, self._signs, aff_a, aff_b, n_dev,
                 kappa=float((1 << self._bits) - 1),
                 k=k_eff, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
-                fused=self._use_fused(),
+                fused=self._use_fused(), raw16=raw16,
             )
             p = _pack_pair(ids_d, d_d)
             try:
@@ -490,6 +506,7 @@ class ScanIndex:
         )
         self._centroid = jnp.asarray(centroid_h)
         self._stage_scalars()
+        self._raw16 = None
         self._finalized = True
         self._needs_build = False
         return self

@@ -170,7 +170,7 @@ def _chunked_prune(
         out = _prune_chunk(
             raw, norm_sq, node_nop, cand_ids, cand_dists, jnp.int32(start)
         )
-        out[0].block_until_ready()  # bound transient-workspace overlap
+        force(out)  # HBM throttle (block_until_ready is inert here)
         parts.append(out)
     if len(parts) == 1:
         si, sd = parts[0]
@@ -254,7 +254,7 @@ def encode_neighbor_blocks(
     parts = []
     for start in range(0, n, b):
         out = _encode_chunk(raw, sel_ids, jnp.int32(start))
-        out[0].block_until_ready()  # bound transient-workspace overlap
+        force(out)  # HBM throttle (block_until_ready is inert here)
         parts.append(out)
     if len(parts) == 1:
         pl, no, qo, cp, wp = parts[0]

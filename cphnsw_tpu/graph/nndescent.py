@@ -165,7 +165,7 @@ def init_random(
     for start in range(0, n, b):
         key, sub = jax.random.split(key)
         out = _init_chunk(raw, norm_sq, sub, jnp.int32(start))
-        out[0].block_until_ready()  # bound transient-workspace overlap
+        force(out)  # HBM throttle (block_until_ready is inert here)
         parts.append(out)
     if len(parts) == 1:
         ids, dists = parts[0]
@@ -299,9 +299,11 @@ def join_round(
             raw, norm_sq, wg.ids, wg.dists, wg.flags, rev, k,
             jnp.int32(start), r, b, n,
         )
-        # block per chunk: unbounded async dispatch lets the transient
-        # workspaces of many queued chunk programs overlap and exhaust HBM
-        out[0].block_until_ready()
+        # force per chunk: unbounded async dispatch lets the transient
+        # workspaces of many queued chunk programs overlap and exhaust
+        # HBM; a forcing fetch (NOT the inert block_until_ready) bounds
+        # the live set to one chunk's transients on every backend
+        force(out)
         parts.append(out[:3])
         upds.append(out[3])
 

@@ -87,6 +87,16 @@ NP_NOT_GROUP_I32 = np.int32(~((1 << GROUP_BITS) - 1))
 NP_I32_MAX = np.int32(0x7FFFFFFF)
 BIN_FACTOR = 8
 BINS_MIN = 2048
+# The fused kernel keeps each bin's FOUR smallest keys (top-2 for the
+# chunked XLA path above): deeper per-bin capture lets the bin count —
+# and with it the key traffic and the decode top_k width — shrink from
+# 16*top_c (2 x 8*top_c bins) to 8*top_c (4 x 2*top_c bins) while the
+# deepest-rank miss probability IMPROVES from (1/8)^2/2 ~ 0.78% to
+# P(Poisson(0.5) >= 4) ~ 0.18%.  At the 10M 1-bit operating point
+# (derived top_c ~ 26k) this halves a 418k-wide selection.
+FUSED_BIN_FACTOR = 2
+FUSED_BINS_MIN = 512
+FUSED_TOPM = 4
 # Score-buffer budget per chunk in f32 elements (Q * chunk <= this) for
 # the XLA fallback path.  The peak per chunk is ~2-3x this buffer (the
 # int32 fs matmul output materializes alongside the fused score/key
@@ -293,7 +303,7 @@ def _chunk_scores(planes_c, aux_c, q_u_i8, w_fs, y_aux, p):
 
 
 def _fused_kernel(codes_ref, aux_ref, q_ref, wfs_ref, yaux_ref,
-                  m1_ref, m2_ref):
+                  m1_ref, m2_ref, m3_ref, m4_ref):
     import jax.experimental.pallas as pl
 
     gi = pl.program_id(2)
@@ -312,24 +322,35 @@ def _fused_kernel(codes_ref, aux_ref, q_ref, wfs_ref, yaux_ref,
     key = jnp.where(i >= 0, i, i ^ NP_I32_MAX)
     key = (key & NP_NOT_GROUP_I32) | gi.astype(jnp.int32)
 
+    refs = (m1_ref, m2_ref, m3_ref, m4_ref)
+
     @pl.when(gi == 0)
     def _():
-        m1_ref[:] = jnp.full_like(m1_ref, NP_I32_MAX)
-        m2_ref[:] = jnp.full_like(m2_ref, NP_I32_MAX)
+        for r in refs:
+            r[:] = jnp.full_like(r, NP_I32_MAX)
 
     # each grid step contributes exactly ONE candidate per bin, so the
-    # top-2 merge is two min/max lattice ops
-    m1_old = m1_ref[:]
-    m1_ref[:] = jnp.minimum(m1_old, key)
-    m2_ref[:] = jnp.minimum(m2_ref[:], jnp.maximum(m1_old, key))
+    # top-4 merge is an online insertion lattice (3 min/max pairs + a
+    # final min) — VPU lattice ops, the kernel stays memory-bound
+    carry = key
+    for r in refs[:-1]:
+        old = r[:]
+        r[:] = jnp.minimum(old, carry)
+        carry = jnp.maximum(old, carry)
+    m4_ref[:] = jnp.minimum(m4_ref[:], carry)
 
 
 def fused_bin_plan(n_pad: int, top_c: int) -> tuple[int, int, int]:
-    """(bins, groups, rows_kpad) for the fused kernel over the whole
-    store: bins a multiple of the 512-lane block, large enough for both
-    capture (BIN_FACTOR * top_c) and the group-index width
-    (groups <= 2^GROUP_BITS)."""
-    want = max(BINS_MIN, BIN_FACTOR * top_c, -(-n_pad // (1 << GROUP_BITS)))
+    """(bins, groups, rows_kpad) for the fused top-4 kernel over the
+    whole store: bins a multiple of the 512-lane block, large enough for
+    capture (FUSED_BIN_FACTOR * top_c: lambda = top_c/bins <= 0.5, so
+    the deepest needed rank survives with P(Poisson(0.5) >= 4) ~ 0.2%
+    miss — 4x better than the old top-2 plan at 1/2 the key width) and
+    for the group-index packing (groups <= 2^GROUP_BITS)."""
+    want = max(
+        FUSED_BINS_MIN, FUSED_BIN_FACTOR * top_c,
+        -(-n_pad // (1 << GROUP_BITS)),
+    )
     bins = -(-want // 512) * 512
     bins = min(bins, -(-n_pad // 512) * 512)
     groups = -(-n_pad // bins)
@@ -338,7 +359,8 @@ def fused_bin_plan(n_pad: int, top_c: int) -> tuple[int, int, int]:
 
 def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
                     bins: int, interpret: bool = False):
-    """(Q, 2*bins) packed top-2 bin keys over the kernel-padded store."""
+    """(Q, FUSED_TOPM*bins) packed top-4 bin keys over the kernel-padded
+    store."""
     import jax.experimental.pallas as pl
 
     rows_kpad, p = codes_i8.shape
@@ -354,7 +376,7 @@ def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
     assert bins % bn == 0 and q % bq == 0 and rows_kpad % bins == 0
     nb = bins // bn
 
-    m1, m2 = pl.pallas_call(
+    ms = pl.pallas_call(
         _fused_kernel,
         grid=(q // bq, nb, groups),
         in_specs=[
@@ -365,16 +387,16 @@ def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
             pl.BlockSpec((bq, 5), lambda qi, bj, gi: (qi, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bq, bn), lambda qi, bj, gi: (qi, bj)),
-            pl.BlockSpec((bq, bn), lambda qi, bj, gi: (qi, bj)),
+            pl.BlockSpec((bq, bn), lambda qi, bj, gi: (qi, bj))
+            for _ in range(FUSED_TOPM)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q, bins), jnp.int32),
-            jax.ShapeDtypeStruct((q, bins), jnp.int32),
+            jax.ShapeDtypeStruct((q, bins), jnp.int32)
+            for _ in range(FUSED_TOPM)
         ],
         interpret=interpret,
     )(codes_i8, node_aux_k, q_u_i8, w_fs[:, None], y_aux)
-    cat = jnp.concatenate([m1, m2], axis=1)
+    cat = jnp.concatenate(ms, axis=1)
     # signed monotone -> the u32 key convention (_decode_keys input)
     return jax.lax.bitcast_convert_type(cat, jnp.uint32) ^ SIGN_U32
 
@@ -384,59 +406,95 @@ def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
 # k=100 derives C in the thousands -> an 8 GB gather); chunking candidates
 # with a running top-k merge bounds it at ~1 GB.
 RERANK_ELEMENTS = 1 << 28
+# Candidate count above which the rerank goes two-stage: a bf16 distance
+# pass over all C candidates (half the gather traffic of f32) selects
+# RERANK_SURVIVORS(k) survivors which then get the exact f32 rerank.
+# bf16's ~0.4% relative distance error can only cost recall if a true
+# top-k candidate's bf16 distance misranks below ~4k other candidates —
+# vanishingly unlikely — while the final distances stay exact f32.
+# Below the threshold the single-stage f32 path is both exact AND faster
+# (measured at C=384: 2.2 ms f32 vs 3.3 ms two-stage at Q=512).
+TWO_STAGE_MIN_C = 4096
 
 
-def _rerank(raw, norm_sq, qpad, qnorm, cand_ids, n, k):
-    """Exact-L2 rerank of gathered candidates; pad candidates -> FLOAT_MAX.
+def _rerank_survivors(k: int, c: int) -> int:
+    return min(max(4 * k, 64), c)
 
-    Candidates are processed in static pieces so the (Q, piece, P) gather
-    stays under RERANK_ELEMENTS; pieces merge through a carried top-k.
-    """
+
+def _candidate_topk(raw, norm_sq, qpad, qnorm, cand_ids, n, kk: int,
+                    elems: int):
+    """Top-kk of gathered-candidate L2 distances, pieces bounded by
+    `elems` gathered elements; returns (neg_dists (Q, kk), ids (Q, kk)).
+    dtype of `raw` sets the gather precision (f32 exact / bf16 stage-1);
+    distances accumulate in f32 either way."""
     q, c = cand_ids.shape
     p = raw.shape[1]
-    piece = max(k, RERANK_ELEMENTS // max(q * p, 1))
+    piece = max(kk, elems // max(q * p, 1))
 
-    def exact_block(ids_blk):
+    def block(ids_blk):
         vecs = raw[ids_blk]                                    # (Q, c_b, P)
         norms = norm_sq[ids_blk]
-        exact = estimate.exact_l2_sq(qpad, qnorm, vecs, norms)
+        exact = estimate.exact_l2_sq(
+            qpad.astype(raw.dtype), qnorm, vecs, norms
+        )
         return jnp.where(ids_blk < n, exact, FLOAT_MAX)
 
     if piece >= c:
-        exact = exact_block(cand_ids)
-        neg_d, idx = jax.lax.top_k(-exact, k)
+        neg_d, idx = jax.lax.top_k(-block(cand_ids), kk)
         ids = jnp.take_along_axis(cand_ids, idx, axis=1)
-    else:
-        # lax.scan (NOT an unrolled python loop): the piece gathers have
-        # no data dependence on each other, so unrolled XLA schedules
-        # them all concurrently — a dozen 1 GB gathers OOM the chip at
-        # 1M x 1024d.  scan's sequential carry bounds live memory to ~one
-        # piece.  Pad with an out-of-range id: the gather clamps, the
-        # n-mask prices it FLOAT_MAX, the final mask maps it to -1.
-        n_pieces = -(-c // piece)
-        pad_c = n_pieces * piece - c
-        ids_pad = cand_ids
-        if pad_c:
-            ids_pad = jnp.concatenate(
-                [cand_ids,
-                 jnp.full((q, pad_c), jnp.int32(2**30))], axis=1
-            )
-        blocks = ids_pad.reshape(q, n_pieces, piece).transpose(1, 0, 2)
-
-        def body(carry, blk):
-            best_neg, best_ids = carry
-            neg = -exact_block(blk)
-            cat_neg = jnp.concatenate([best_neg, neg], axis=1)
-            cat_ids = jnp.concatenate([best_ids, blk], axis=1)
-            best_neg, sel = jax.lax.top_k(cat_neg, k)
-            best_ids = jnp.take_along_axis(cat_ids, sel, axis=1)
-            return (best_neg, best_ids), None
-
-        (neg_d, ids), _ = jax.lax.scan(
-            body,
-            (jnp.full((q, k), -FLOAT_MAX), jnp.zeros((q, k), jnp.int32)),
-            blocks,
+        return neg_d, ids
+    # lax.scan (NOT an unrolled python loop): the piece gathers have
+    # no data dependence on each other, so unrolled XLA schedules
+    # them all concurrently — a dozen 1 GB gathers OOM the chip at
+    # 1M x 1024d.  scan's sequential carry bounds live memory to ~one
+    # piece.  Pad with an out-of-range id: the gather clamps, the
+    # n-mask prices it FLOAT_MAX, the final mask maps it to -1.
+    n_pieces = -(-c // piece)
+    pad_c = n_pieces * piece - c
+    ids_pad = cand_ids
+    if pad_c:
+        ids_pad = jnp.concatenate(
+            [cand_ids, jnp.full((q, pad_c), jnp.int32(2**30))], axis=1
         )
+    blocks = ids_pad.reshape(q, n_pieces, piece).transpose(1, 0, 2)
+
+    def body(carry, blk):
+        best_neg, best_ids = carry
+        neg = -block(blk)
+        cat_neg = jnp.concatenate([best_neg, neg], axis=1)
+        cat_ids = jnp.concatenate([best_ids, blk], axis=1)
+        best_neg, sel = jax.lax.top_k(cat_neg, kk)
+        best_ids = jnp.take_along_axis(cat_ids, sel, axis=1)
+        return (best_neg, best_ids), None
+
+    (neg_d, ids), _ = jax.lax.scan(
+        body,
+        (jnp.full((q, kk), -FLOAT_MAX), jnp.zeros((q, kk), jnp.int32)),
+        blocks,
+    )
+    return neg_d, ids
+
+
+def _rerank(raw, norm_sq, qpad, qnorm, cand_ids, n, k, raw16=None):
+    """Exact-L2 rerank of gathered candidates; pad candidates -> FLOAT_MAX.
+
+    With `raw16` (a bf16 at-rest copy of raw) and a large candidate set,
+    the rerank goes two-stage: bf16 distances select survivors, the
+    exact f32 pass runs only on those (the 10M 1-bit budget derives
+    C in the tens of thousands — a 13.7 GB f32 gather per 1024 queries
+    that the bf16 stage halves, with the f32 stage collapsing to k-scale).
+    """
+    c = cand_ids.shape[1]
+    if raw16 is not None and c >= TWO_STAGE_MIN_C:
+        surv = _rerank_survivors(k, c)
+        _, ids_s = _candidate_topk(
+            raw16, norm_sq, qpad, qnorm, cand_ids, n, surv,
+            2 * RERANK_ELEMENTS,
+        )
+        cand_ids = ids_s
+    neg_d, ids = _candidate_topk(
+        raw, norm_sq, qpad, qnorm, cand_ids, n, k, RERANK_ELEMENTS
+    )
     ids = jnp.where(neg_d > -FLOAT_MAX, ids, -1)
     return ids, -neg_d
 
@@ -550,6 +608,7 @@ def scan_search(
     exact_select: bool = False,
     fused: bool = False,
     interpret: bool = False,
+    raw16=None,
 ):
     """Estimate-scan all N codes, select top_c, exact-rerank to top k.
 
@@ -593,7 +652,7 @@ def scan_search(
             cand_ids = cat_ids
         return _rerank(
             arrays.raw, arrays.norm_sq, qpad, qnorm,
-            cand_ids.astype(jnp.int32), n, k,
+            cand_ids.astype(jnp.int32), n, k, raw16=raw16,
         )
 
     if fused:
@@ -622,7 +681,7 @@ def scan_search(
         # id >= n at FLOAT_MAX and maps it to -1
         return _rerank(
             arrays.raw, arrays.norm_sq, qpad, qnorm,
-            cand_ids.astype(jnp.int32), n, k,
+            cand_ids.astype(jnp.int32), n, k, raw16=raw16,
         )
 
     # --- fast path: fused binned-min keys per chunk, one global decode ---
@@ -685,7 +744,7 @@ def scan_search(
 
     return _rerank(
         arrays.raw, arrays.norm_sq, qpad, qnorm,
-        cand_ids.astype(jnp.int32), n, k,
+        cand_ids.astype(jnp.int32), n, k, raw16=raw16,
     )
 
 

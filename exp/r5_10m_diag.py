@@ -65,9 +65,24 @@ def main():
 
     SUB = 1024
     q16 = queries[:SUB].astype(np.float16)
+    if len(q16) < SUB:  # pad to the power-of-two bucket (q % bq == 0)
+        q16 = np.concatenate(
+            [q16, np.repeat(q16[-1:], SUB - len(q16), axis=0)]
+        )
     q_dev = jax.device_put(q16)
     np.asarray(tiny(q_dev))
     p = arrays.raw.shape[1]
+
+    # e2e first (also instantiates the lazy bf16 rerank copy)
+    for k in (10, 100):
+        ms = med(lambda: idx.search_batch(queries, k=k))
+        ids, _ = idx.search_batch(queries, k=k)
+        r10 = recall_at_k(np.asarray(ids), gt.astype(np.int64), 10)
+        out[f"e2e_k{k}"] = {
+            "ms": round(ms, 1), "qps": round(len(queries) / (ms / 1e3)),
+            "recall10": round(r10, 4),
+        }
+        print(f"e2e k={k}: {out[f'e2e_k{k}']}", flush=True)
 
     for k in (10, 100):
         top_c = idx._budget.top_c(k, n)
@@ -79,31 +94,34 @@ def main():
             ids_d, d_d = scan.scan_search(
                 arrays, q_dev, signs, aff_a, aff_b, n_dev, kappa=kappa,
                 k=k, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
-                fused=True)
+                fused=True, raw16=idx._raw16)
             packed = jnp.stack(
                 [ids_d, jax.lax.bitcast_convert_type(d_d, jnp.int32)], 0)
             return np.asarray(packed)
         st["full_ms"] = round(med(full) - floor, 1)
 
-        # isolated rerank at this top_c
+        # isolated rerank at this top_c (arrays as jit ARGS — a closure
+        # capture serializes 5 GB into the remote compile request)
         rng = np.random.default_rng(0)
         cand = jax.device_put(
             rng.integers(0, n, size=(SUB, top_c)).astype(np.int32))
+        raw16 = idx._raw16
 
         @jax.jit
-        def rr(qr, cand):
+        def rr(raw, norm_sq, raw16, qr, cand, n_dev):
             from cphnsw_tpu.ops import hadamard
             qpad = hadamard.pad_to(qr.astype(jnp.float32), p)
             qnorm = jnp.sum(qpad * qpad, -1)
-            ids, d = scan._rerank(arrays.raw, arrays.norm_sq, qpad, qnorm,
-                                  cand, n_dev, k)
+            ids, d = scan._rerank(raw, norm_sq, qpad, qnorm,
+                                  cand, n_dev, k, raw16=raw16)
             return jnp.sum(ids) + jnp.sum(jnp.where(d < 1e30, d, 0.0))
 
-        st["rerank_ms"] = round(med(lambda: np.asarray(rr(q_dev, cand)))
-                                - floor, 1)
+        st["rerank_ms"] = round(med(lambda: np.asarray(
+            rr(arrays.raw, arrays.norm_sq, raw16, q_dev, cand, n_dev)))
+            - floor, 1)
 
         # isolated decode at this width
-        w = 2 * bins
+        w = scan.FUSED_TOPM * bins
         keys_rand = jax.device_put(
             rng.integers(0, 2**32, size=(SUB, w), dtype=np.uint32))
 
@@ -118,17 +136,6 @@ def main():
             st["full_ms"] - st["decode_ms"] - st["rerank_ms"], 1)
         out["stages"][f"k{k}"] = st
         print(f"k={k}: {st}", flush=True)
-
-    # e2e through the facade
-    for k in (10, 100):
-        ms = med(lambda: idx.search_batch(queries, k=k))
-        ids, _ = idx.search_batch(queries, k=k)
-        r10 = recall_at_k(np.asarray(ids), gt.astype(np.int64), 10)
-        out[f"e2e_k{k}"] = {
-            "ms": round(ms, 1), "qps": round(len(queries) / (ms / 1e3)),
-            "recall10": round(r10, 4),
-        }
-        print(f"e2e k={k}: {out[f'e2e_k{k}']}", flush=True)
 
     res = Path(__file__).parent.parent / "results"
     fn = res / "r5_10m_1bit_diag.json"
