@@ -54,11 +54,6 @@ QUERY_WIRE_DTYPE = np.float16
 
 
 @jax.jit
-def _to_bf16(raw):
-    return raw.astype(jnp.bfloat16)
-
-
-@jax.jit
 def _pack_pair(ids, dists):
     """(Q, k) ids + f32 dists -> one (2, Q, k) int32 array so each
     sub-batch's result crosses the tunnel as a single buffer."""
@@ -259,7 +254,7 @@ class ScanIndex:
         self._vectors_dev = None
         self._needs_build = False
         self._finalized = True
-        self._raw16 = None  # lazy bf16 rerank copy; invalidated per build
+        self._sketch = None  # lazy rerank sketch; invalidated per build
         _mark("stage_host_copies")
         self.build_stages = stages
         return self
@@ -303,30 +298,51 @@ class ScanIndex:
         top_c_k = self._budget.top_c(k_eff, self._n)
         aff_a, aff_b, n_dev = self._dev_scalars
         # two-stage rerank for budget blowups (e.g. 10M 1-bit derives
-        # top_c ~26k): a bf16 at-rest copy of raw halves the stage-1
-        # gather traffic; created lazily the first time a search's
+        # top_c ~26k): a reduced-precision sketch store (bf16, or int8
+        # above BF16_SKETCH_MAX_RAW_BYTES) cuts the stage-1 gather
+        # traffic 2-4x; created lazily the first time a search's
         # candidate budget crosses the threshold, never for small-budget
         # indexes (where single-stage f32 is exact AND faster)
-        raw16 = None
+        sketch = None
         if top_c_k >= scan.TWO_STAGE_MIN_C:
-            if getattr(self, "_raw16", None) is None:
-                self._raw16 = _to_bf16(self._arrays.raw)
-            raw16 = self._raw16
-        # Sub-batch plan: full SEARCH_SUB_BATCH slices, then the tail
-        # rounded up to its own power-of-two bucket (>= 64) instead of a
-        # full extra sub-batch — nq=2049 costs one 2048 scan + one 64
-        # scan, not two 2048 scans (the jit cache holds one program per
-        # bucket size, a bounded grid).
+            need_int8 = top_c_k >= scan.SKETCH_SCAN_MIN_C
+            cached = getattr(self, "_sketch", None)
+            if cached is None or (need_int8 and cached.scale is None):
+                self._sketch = scan.make_rerank_sketch(
+                    self._arrays.raw, self._arrays.norm_sq,
+                    force_int8=need_int8,
+                )
+            sketch = self._sketch
+        # Sub-batch plan: full sub-batch slices, then the tail rounded up
+        # to its own power-of-two bucket (>= 64) instead of a full extra
+        # sub-batch — nq=2049 costs one 2048 scan + one 64 scan, not two
+        # 2048 scans (the jit cache holds one program per bucket size, a
+        # bounded grid).  The sub-batch size is DERIVED from the
+        # selection footprint (scan.derived_sub_batch): large candidate
+        # budgets shrink it so sort/key transients stay clear of HBM.
+        # sketch-scan mode selects only max(4k, 64) survivors, so its
+        # selection width — and with it the derived sub-batch — follows
+        # the survivor count, not the (huge) candidate budget
+        sel_width = top_c_k
+        if (
+            sketch is not None
+            and sketch.scale is not None
+            and top_c_k >= scan.SKETCH_SCAN_MIN_C
+        ):
+            sel_width = scan._rerank_survivors(k_eff, top_c_k)
+        sub_batch = scan.derived_sub_batch(
+            n_pad, sel_width, cap=SEARCH_SUB_BATCH
+        )
         plan = []  # (start, rows, padded_rows)
         s = 0
         while s < nq:
             rem_q = nq - s
-            if rem_q >= SEARCH_SUB_BATCH:
-                plan.append((s, SEARCH_SUB_BATCH, SEARCH_SUB_BATCH))
-                s += SEARCH_SUB_BATCH
+            if rem_q >= sub_batch:
+                plan.append((s, sub_batch, sub_batch))
+                s += sub_batch
             else:
                 bucket = min(
-                    1 << max(6, (rem_q - 1).bit_length()), SEARCH_SUB_BATCH
+                    1 << max(6, (rem_q - 1).bit_length()), sub_batch
                 )
                 plan.append((s, rem_q, bucket))
                 s = nq
@@ -350,7 +366,7 @@ class ScanIndex:
                 self._arrays, q_dev, self._signs, aff_a, aff_b, n_dev,
                 kappa=float((1 << self._bits) - 1),
                 k=k_eff, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
-                fused=self._use_fused(), raw16=raw16,
+                fused=self._use_fused(), sketch=sketch,
             )
             p = _pack_pair(ids_d, d_d)
             try:
@@ -506,7 +522,7 @@ class ScanIndex:
         )
         self._centroid = jnp.asarray(centroid_h)
         self._stage_scalars()
-        self._raw16 = None
+        self._sketch = None
         self._finalized = True
         self._needs_build = False
         return self

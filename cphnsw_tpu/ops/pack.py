@@ -57,14 +57,16 @@ def unpack_planes(planes: jax.Array, padded_dim: int) -> jax.Array:
     return (expanded * weights[:, None]).sum(axis=-2).astype(jnp.int32)
 
 
-def unpack_codes_i8(planes: jax.Array, padded_dim: int) -> jax.Array:
-    """Unpack uint32 planes (..., bits, W) -> combined codes (..., P) int8.
+# Rows per unpack step for store-sized inputs: the shift/mask chain's
+# u32 intermediates do NOT always fuse (XLA materializes the broadcast
+# and the post-reshape copy at full size — 2 x 4.78 GB at 10M rows,
+# observed OOM), so whole-store unpacks roll through a lax.scan whose
+# per-step temps are bounded at ~256 MB while only the int8 OUTPUT
+# exists at full size.
+UNPACK_CHUNK = 1 << 18
 
-    Same recombination as unpack_planes (u = sum_b 2^(bits-1-b) * plane_b)
-    but staying in int8 end-to-end so XLA fuses the whole shift/mask/sum
-    chain into one elementwise kernel whose only materialized output is
-    the int8 matmul operand (code values are <= 15, so int8 is exact).
-    """
+
+def _unpack_codes_i8_flat(planes: jax.Array, padded_dim: int) -> jax.Array:
     bits = planes.shape[-2]
     bit_idx = jnp.arange(WORD_BITS, dtype=jnp.uint32)
     x = ((planes[..., None] >> bit_idx) & jnp.uint32(1)).astype(jnp.int8)
@@ -73,6 +75,36 @@ def unpack_codes_i8(planes: jax.Array, padded_dim: int) -> jax.Array:
         jnp.int8(1) << jnp.arange(bits - 1, -1, -1, dtype=jnp.int8)
     )
     return jnp.sum(x * weights[:, None], axis=-2, dtype=jnp.int8)
+
+
+def unpack_codes_i8(planes: jax.Array, padded_dim: int) -> jax.Array:
+    """Unpack uint32 planes (..., bits, W) -> combined codes (..., P) int8.
+
+    Same recombination as unpack_planes (u = sum_b 2^(bits-1-b) * plane_b)
+    but int8 end-to-end; code values are <= 15, so int8 is exact.  Inputs
+    with a large leading row axis unpack in UNPACK_CHUNK-row steps (see
+    note above).
+    """
+    if planes.ndim != 3 or planes.shape[0] <= UNPACK_CHUNK:
+        return _unpack_codes_i8_flat(planes, padded_dim)
+    n, b, w = planes.shape
+    n_eq = n // UNPACK_CHUNK
+    rem = n - n_eq * UNPACK_CHUNK
+
+    def body(_, pl_c):
+        return None, _unpack_codes_i8_flat(pl_c, padded_dim)
+
+    _, parts = jax.lax.scan(
+        body, None,
+        planes[: n_eq * UNPACK_CHUNK].reshape(n_eq, UNPACK_CHUNK, b, w),
+    )
+    out = parts.reshape(n_eq * UNPACK_CHUNK, padded_dim)
+    if rem:
+        out = jnp.concatenate(
+            [out, _unpack_codes_i8_flat(planes[n_eq * UNPACK_CHUNK:],
+                                        padded_dim)]
+        )
+    return out
 
 
 def unpack_msb(planes: jax.Array, padded_dim: int, bits: int) -> jax.Array:

@@ -340,6 +340,25 @@ def _fused_kernel(codes_ref, aux_ref, q_ref, wfs_ref, yaux_ref,
     m4_ref[:] = jnp.minimum(m4_ref[:], carry)
 
 
+def derived_sub_batch(n_pad: int, top_c: int, cap: int = 2048) -> int:
+    """Search sub-batch size derived from the selection footprint
+    (VERDICT r4 item 6: the right sub-batch scales with the store).
+
+    The per-sub-batch HBM transients scale with sub * bins: the
+    FUSED_TOPM key planes, their concat, and the stable-sort scratch of
+    the decode top_k (~24 B per key element end to end).  Bounding them
+    to ~1 GB keeps the peak clear of a 16 GB chip even alongside a
+    10M-row store (measured: Q=1024 at the 10M 1-bit budget — bins 52k —
+    overflowed HBM by 305 MB; Q=512 fits).  Small stores keep the cap,
+    where fewer dispatches win (exp/r5_stage512.py sweep).
+    """
+    bins = fused_bin_plan(n_pad, top_c)[0]
+    sub = cap
+    while sub > 256 and sub * bins * 24 > (1 << 30):
+        sub //= 2
+    return sub
+
+
 def fused_bin_plan(n_pad: int, top_c: int) -> tuple[int, int, int]:
     """(bins, groups, rows_kpad) for the fused top-4 kernel over the
     whole store: bins a multiple of the 512-lane block, large enough for
@@ -369,16 +388,39 @@ def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
     bq = min(256, q)
     if p >= 1024:  # keep VMEM blocks comfortable at high dim
         bq = min(bq, 128)
-    bn = 512
+    # the total grid is (q/bq) * (rows_kpad/bn): per-step overhead
+    # dominated the kernel at 10M rows with bn=512 (78k steps ~ 80 ms for
+    # ~3 ms of DMA), so bn takes the largest block that divides bins.
+    # VMEM bound: ~7 block-sized i32/f32 arrays live per step (4 output
+    # key planes + fs + score + key), so bq*bn*28B must stay under the
+    # 16 MB scoped-vmem stack — bq=256 x bn=2048 = 14.7 MB fits; 512 x
+    # 2048 (32.6 MB) does not.
+    bn = next(b for b in (2048, 1024, 512) if bins % b == 0)
     # the q % bq check must come AFTER every bq adjustment: a passing
     # assert followed by a bq change would let grid q // bq truncate and
     # silently never write rows beyond bq * (q // bq) (ADVICE r4)
     assert bins % bn == 0 and q % bq == 0 and rows_kpad % bins == 0
     nb = bins // bn
 
+    # ~8 block-sized i32/f32 arrays live per step (4 output key planes +
+    # fs + score + key + double-buffered inputs): bq=256 x bn=2048 needs
+    # ~17 MB of scoped VMEM, just over the compiler's 16 MB default —
+    # raise the limit (v5e has 128 MB of VMEM) rather than shrink blocks,
+    # since larger row blocks are what keep the grid overhead down.
+    kw = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+            pltpu, "TPUCompilerParams"
+        )
+        kw["compiler_params"] = params_cls(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     ms = pl.pallas_call(
         _fused_kernel,
         grid=(q // bq, nb, groups),
+        **kw,
         in_specs=[
             pl.BlockSpec((bn, p), lambda qi, bj, gi: (gi * nb + bj, 0)),
             pl.BlockSpec((6, bn), lambda qi, bj, gi: (0, gi * nb + bj)),
@@ -406,37 +448,105 @@ def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
 # k=100 derives C in the thousands -> an 8 GB gather); chunking candidates
 # with a running top-k merge bounds it at ~1 GB.
 RERANK_ELEMENTS = 1 << 28
-# Candidate count above which the rerank goes two-stage: a bf16 distance
-# pass over all C candidates (half the gather traffic of f32) selects
+# Candidate count above which the rerank goes two-stage: a reduced-
+# precision distance pass over all C candidates selects
 # RERANK_SURVIVORS(k) survivors which then get the exact f32 rerank.
-# bf16's ~0.4% relative distance error can only cost recall if a true
-# top-k candidate's bf16 distance misranks below ~4k other candidates —
-# vanishingly unlikely — while the final distances stay exact f32.
-# Below the threshold the single-stage f32 path is both exact AND faster
-# (measured at C=384: 2.2 ms f32 vs 3.3 ms two-stage at Q=512).
+# The stage-1 "sketch" store is bf16 (half the f32 gather traffic) when
+# the extra copy fits comfortably, else int8 with per-dimension scales
+# (1/4 the traffic AND 1/4 the at-rest bytes — at 10M x 96d the bf16
+# copy alone pushed HBM 1.45 GB over capacity).  Reduced precision can
+# only cost recall if a true top-k candidate misranks below ~4k other
+# candidates in stage 1 — far outside either dtype's error bar — while
+# the final distances stay exact f32.  Below the threshold the
+# single-stage f32 path is both exact AND faster (measured at C=384:
+# 2.2 ms f32 vs 3.3 ms two-stage at Q=512).
 TWO_STAGE_MIN_C = 4096
+# bf16 sketch only while the raw store itself is small enough that a
+# half-size copy is noise; beyond this the int8 sketch takes over.
+BF16_SKETCH_MAX_RAW_BYTES = 3 << 30
+# Candidate budget above which selection switches from
+# estimate-select-then-gather to the full int8-sketch scan (see the
+# sketch-scan branch in scan_search).
+SKETCH_SCAN_MIN_C = 8192
+
+
+class RerankSketch(NamedTuple):
+    """Reduced-precision stage-1 rerank store (see TWO_STAGE_MIN_C).
+
+    store: (N_pad, P) bf16, or int8 codes with per-dim scales;
+    norm_sq: (N_pad,) f32 squared norms OF THE SKETCH points;
+    scale:   None for bf16, (P,) f32 dequant scales for int8."""
+
+    store: jax.Array
+    norm_sq: jax.Array
+    scale: jax.Array | None
+
+
+@jax.jit
+def _sketch_bf16(raw, norm_sq):
+    return RerankSketch(raw.astype(jnp.bfloat16), norm_sq, None)
+
+
+def make_rerank_sketch(raw, norm_sq, force_int8: bool = False
+                       ) -> RerankSketch:
+    """Build the stage-1 sketch for a raw store (device programs only;
+    row-chunked so no f32-sized transient materializes).  force_int8
+    requests the int8 form regardless of size (the sketch-scan mode
+    needs an int8 MXU operand)."""
+    if not force_int8 and raw.nbytes <= BF16_SKETCH_MAX_RAW_BYTES:
+        return _sketch_bf16(raw, norm_sq)
+
+    @jax.jit
+    def dim_scale(raw):
+        return jnp.maximum(jnp.max(jnp.abs(raw), axis=0), 1e-12) / 127.0
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def quant_chunk(raw_c, scale):
+        codes = jnp.clip(
+            jnp.round(raw_c / scale[None, :]), -127, 127
+        ).astype(jnp.int8)
+        xhat = codes.astype(jnp.float32) * scale[None, :]
+        return codes, jnp.sum(xhat * xhat, axis=-1)
+
+    scale = dim_scale(raw)
+    n_pad = raw.shape[0]
+    step = 1 << 20
+    codes_l, norms_l = [], []
+    for s in range(0, n_pad, step):
+        c, nsq = quant_chunk(
+            jax.lax.slice_in_dim(raw, s, min(s + step, n_pad), axis=0),
+            scale,
+        )
+        codes_l.append(c)
+        norms_l.append(nsq)
+    return RerankSketch(
+        jnp.concatenate(codes_l), jnp.concatenate(norms_l), scale
+    )
 
 
 def _rerank_survivors(k: int, c: int) -> int:
     return min(max(4 * k, 64), c)
 
 
-def _candidate_topk(raw, norm_sq, qpad, qnorm, cand_ids, n, kk: int,
+def _candidate_topk(raw, norm_sq, qeff, qnorm, cand_ids, n, kk: int,
                     elems: int):
     """Top-kk of gathered-candidate L2 distances, pieces bounded by
     `elems` gathered elements; returns (neg_dists (Q, kk), ids (Q, kk)).
-    dtype of `raw` sets the gather precision (f32 exact / bf16 stage-1);
-    distances accumulate in f32 either way."""
+    dtype of `raw` sets the GATHER precision (f32 exact / bf16 / int8
+    sketch — the gather traffic is the cost, so low-precision rows are
+    upcast to the query dtype only after the gather, in-register);
+    distances accumulate in f32 either way.  `qeff` is the caller-
+    prepared query operand (scale-folded for the int8 sketch)."""
     q, c = cand_ids.shape
     p = raw.shape[1]
     piece = max(kk, elems // max(q * p, 1))
 
     def block(ids_blk):
         vecs = raw[ids_blk]                                    # (Q, c_b, P)
+        if vecs.dtype != qeff.dtype:
+            vecs = vecs.astype(qeff.dtype)
         norms = norm_sq[ids_blk]
-        exact = estimate.exact_l2_sq(
-            qpad.astype(raw.dtype), qnorm, vecs, norms
-        )
+        exact = estimate.exact_l2_sq(qeff, qnorm, vecs, norms)
         return jnp.where(ids_blk < n, exact, FLOAT_MAX)
 
     if piece >= c:
@@ -475,23 +585,28 @@ def _candidate_topk(raw, norm_sq, qpad, qnorm, cand_ids, n, kk: int,
     return neg_d, ids
 
 
-def _rerank(raw, norm_sq, qpad, qnorm, cand_ids, n, k, raw16=None):
+def _rerank(raw, norm_sq, qpad, qnorm, cand_ids, n, k, sketch=None):
     """Exact-L2 rerank of gathered candidates; pad candidates -> FLOAT_MAX.
 
-    With `raw16` (a bf16 at-rest copy of raw) and a large candidate set,
-    the rerank goes two-stage: bf16 distances select survivors, the
-    exact f32 pass runs only on those (the 10M 1-bit budget derives
-    C in the tens of thousands — a 13.7 GB f32 gather per 1024 queries
-    that the bf16 stage halves, with the f32 stage collapsing to k-scale).
+    With a RerankSketch and a large candidate set, the rerank goes
+    two-stage: reduced-precision distances select survivors, the exact
+    f32 pass runs only on those (the 10M 1-bit budget derives C in the
+    tens of thousands — a 13.7 GB f32 gather per 1024 queries that the
+    sketch cuts 2x/4x, with the f32 stage collapsing to k-scale).
     """
     c = cand_ids.shape[1]
-    if raw16 is not None and c >= TWO_STAGE_MIN_C:
+    if sketch is not None and c >= TWO_STAGE_MIN_C:
         surv = _rerank_survivors(k, c)
-        _, ids_s = _candidate_topk(
-            raw16, norm_sq, qpad, qnorm, cand_ids, n, surv,
-            2 * RERANK_ELEMENTS,
+        if sketch.scale is None:          # bf16 sketch
+            qeff = qpad.astype(jnp.bfloat16)
+            elems = 2 * RERANK_ELEMENTS
+        else:                             # int8 sketch: fold the scales
+            qeff = qpad * sketch.scale[None, :]
+            elems = 4 * RERANK_ELEMENTS
+        _, cand_ids = _candidate_topk(
+            sketch.store, sketch.norm_sq, qeff, qnorm, cand_ids, n,
+            surv, elems,
         )
-        cand_ids = ids_s
     neg_d, ids = _candidate_topk(
         raw, norm_sq, qpad, qnorm, cand_ids, n, k, RERANK_ELEMENTS
     )
@@ -608,7 +723,7 @@ def scan_search(
     exact_select: bool = False,
     fused: bool = False,
     interpret: bool = False,
-    raw16=None,
+    sketch=None,
 ):
     """Estimate-scan all N codes, select top_c, exact-rerank to top k.
 
@@ -652,7 +767,64 @@ def scan_search(
             cand_ids = cat_ids
         return _rerank(
             arrays.raw, arrays.norm_sq, qpad, qnorm,
-            cand_ids.astype(jnp.int32), n, k, raw16=raw16,
+            cand_ids.astype(jnp.int32), n, k, sketch=sketch,
+        )
+
+    if (
+        fused
+        and sketch is not None
+        and sketch.scale is not None
+        and top_c >= SKETCH_SCAN_MIN_C
+    ):
+        # --- Sketch-scan mode: when the candidate budget explodes (10M
+        # 1-bit derives top_c ~26k), selecting top_c by ESTIMATE and then
+        # gathering top_c rows per query is strictly worse than streaming
+        # the int8 sketch store through the SAME fused kernel with
+        # near-exact distances: Q*top_c gathered rows approach the store
+        # size while random row-gathers run ~30x below streaming
+        # bandwidth (measured: 477 ms gather + 199 ms decode vs ~25 ms
+        # streamed at 10M/512q).  The kernel algebra is reused verbatim:
+        #   score = ||x_hat||^2 - 2*sigma_q*<q8, codes>   with
+        #   q8 = round(q*scale/sigma_q)  (int8 MXU operand)
+        # i.e. aux row0 = sketch norms (PAD_SCORE on pad rows), row5 = 1,
+        # w_fs = -2*sigma_q, y_aux = e0.  Survivors get the exact f32
+        # rerank, so the output contract is unchanged.
+        surv = _rerank_survivors(k, top_c)
+        bins, groups, rows_kpad = fused_bin_plan(n_pad, surv)
+        codes_s = sketch.store
+        norm_s = jnp.where(
+            jnp.arange(n_pad) < n, sketch.norm_sq, PAD_SCORE
+        )
+        if rows_kpad != n_pad:
+            padr = rows_kpad - n_pad
+            codes_s = jnp.pad(codes_s, ((0, padr), (0, 0)))
+            norm_s = jnp.pad(norm_s, (0, padr),
+                             constant_values=PAD_SCORE)
+        zeros = jnp.zeros_like(norm_s)
+        aux_s = jnp.stack(
+            [norm_s, zeros, zeros, zeros, zeros, jnp.ones_like(norm_s)], 0
+        )
+        q_scaled = qpad * sketch.scale[None, :]
+        sigma_q = jnp.maximum(
+            jnp.max(jnp.abs(q_scaled), axis=1), 1e-12
+        ) / 127.0
+        q8 = jnp.clip(
+            jnp.round(q_scaled / sigma_q[:, None]), -127, 127
+        ).astype(jnp.int8)
+        w_fs_s = -2.0 * sigma_q
+        y_aux_s = jnp.concatenate(
+            [jnp.ones((q, 1), jnp.float32),
+             jnp.zeros((q, 4), jnp.float32)], axis=1
+        )
+        cat_key = fused_scan_keys(
+            codes_s, aux_s, q8, w_fs_s, y_aux_s, bins,
+            interpret=interpret,
+        )
+        cand_ids = _decode_keys(cat_key, None, None, surv,
+                                uniform_bins=bins)
+        return _rerank(
+            arrays.raw, arrays.norm_sq, qpad, qnorm,
+            cand_ids.astype(jnp.int32), n, k,
         )
 
     if fused:
@@ -681,7 +853,7 @@ def scan_search(
         # id >= n at FLOAT_MAX and maps it to -1
         return _rerank(
             arrays.raw, arrays.norm_sq, qpad, qnorm,
-            cand_ids.astype(jnp.int32), n, k, raw16=raw16,
+            cand_ids.astype(jnp.int32), n, k, sketch=sketch,
         )
 
     # --- fast path: fused binned-min keys per chunk, one global decode ---
@@ -744,7 +916,7 @@ def scan_search(
 
     return _rerank(
         arrays.raw, arrays.norm_sq, qpad, qnorm,
-        cand_ids.astype(jnp.int32), n, k, raw16=raw16,
+        cand_ids.astype(jnp.int32), n, k, sketch=sketch,
     )
 
 

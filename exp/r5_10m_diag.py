@@ -63,7 +63,7 @@ def main():
     floor = med(lambda: np.asarray(tiny(z)))
     print(f"floor {floor:.1f} ms", flush=True)
 
-    SUB = 1024
+    SUB = 512
     q16 = queries[:SUB].astype(np.float16)
     if len(q16) < SUB:  # pad to the power-of-two bucket (q % bq == 0)
         q16 = np.concatenate(
@@ -94,7 +94,7 @@ def main():
             ids_d, d_d = scan.scan_search(
                 arrays, q_dev, signs, aff_a, aff_b, n_dev, kappa=kappa,
                 k=k, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
-                fused=True, raw16=idx._raw16)
+                fused=True, sketch=idx._sketch)
             packed = jnp.stack(
                 [ids_d, jax.lax.bitcast_convert_type(d_d, jnp.int32)], 0)
             return np.asarray(packed)
@@ -105,19 +105,19 @@ def main():
         rng = np.random.default_rng(0)
         cand = jax.device_put(
             rng.integers(0, n, size=(SUB, top_c)).astype(np.int32))
-        raw16 = idx._raw16
+        sketch = idx._sketch
 
         @jax.jit
-        def rr(raw, norm_sq, raw16, qr, cand, n_dev):
+        def rr(raw, norm_sq, sketch, qr, cand, n_dev):
             from cphnsw_tpu.ops import hadamard
             qpad = hadamard.pad_to(qr.astype(jnp.float32), p)
             qnorm = jnp.sum(qpad * qpad, -1)
             ids, d = scan._rerank(raw, norm_sq, qpad, qnorm,
-                                  cand, n_dev, k, raw16=raw16)
+                                  cand, n_dev, k, sketch=sketch)
             return jnp.sum(ids) + jnp.sum(jnp.where(d < 1e30, d, 0.0))
 
         st["rerank_ms"] = round(med(lambda: np.asarray(
-            rr(arrays.raw, arrays.norm_sq, raw16, q_dev, cand, n_dev)))
+            rr(arrays.raw, arrays.norm_sq, sketch, q_dev, cand, n_dev)))
             - floor, 1)
 
         # isolated decode at this width

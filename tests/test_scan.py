@@ -291,3 +291,41 @@ def test_build_from_device_array(rng):
     s_h = hi.search_batch(queries, k=5)
     s_d = di.search_batch(queries, k=5)
     np.testing.assert_array_equal(s_h[0], s_d[0])
+
+
+def test_sketch_scan_mode(rng):
+    """The int8 sketch-scan branch (huge candidate budgets stream the
+    sketch store through the fused kernel instead of gathering top_c
+    rows) must return near-exact results: the int8 sketch's distance
+    error is far below survivor-cutoff gaps and the final rerank is
+    exact f32."""
+    n, dim = 20000, 24
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = ScanIndex(dim, bits=1).build(x).finalize()
+    arrays = idx._arrays
+    sketch = scan.make_rerank_sketch(arrays.raw, arrays.norm_sq,
+                                     force_int8=True)
+    assert sketch.scale is not None
+    queries = x[rng.choice(n, 64, replace=False)] + 0.01
+    qpad = jnp.asarray(queries)
+    n_pad = arrays.raw.shape[0]
+    chunk, n_eq, rem = scan.chunk_plan(n_pad, 64)
+    aff_a, aff_b, n_dev = idx._dev_scalars
+    top_c = max(scan.SKETCH_SCAN_MIN_C, 8192)
+    ids_s, d_s = scan.scan_search(
+        arrays, qpad, idx._signs, aff_a, aff_b, n_dev, kappa=1.0,
+        k=10, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
+        fused=True, interpret=True, sketch=sketch,
+    )
+    # exact ground truth
+    d = ((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d, 1)[:, :10]
+    ids_s = np.asarray(ids_s)
+    recall = (ids_s[:, :, None] == gt[:, None, :]).any(-1).mean()
+    assert recall > 0.99, f"sketch-scan recall {recall}"
+    # distances are exact f32 for returned ids
+    want = d[np.arange(64)[:, None], np.maximum(ids_s, 0)]
+    valid = ids_s >= 0
+    np.testing.assert_allclose(
+        np.asarray(d_s)[valid], want[valid], rtol=1e-4, atol=1e-4
+    )
