@@ -304,8 +304,18 @@ class ScanIndex:
         # candidate budget crosses the threshold, never for small-budget
         # indexes (where single-stage f32 is exact AND faster)
         sketch = None
-        if top_c_k >= scan.TWO_STAGE_MIN_C:
-            need_int8 = top_c_k >= scan.SKETCH_SCAN_MIN_C
+        fused = self._use_fused()
+        if fused:
+            # fused path: int8 sketch-scan replaces selection entirely
+            # once the budget crosses SKETCH_SCAN_MIN_C
+            need = top_c_k >= scan.SKETCH_SCAN_MIN_C
+            need_int8 = True
+        else:
+            # XLA path (CPU / sharded): gather-two-stage above
+            # TWO_STAGE_MIN_C, dtype by store size
+            need = top_c_k >= scan.TWO_STAGE_MIN_C
+            need_int8 = False
+        if need:
             cached = getattr(self, "_sketch", None)
             if cached is None or (need_int8 and cached.scale is None):
                 self._sketch = scan.make_rerank_sketch(

@@ -31,6 +31,8 @@ import numpy as np
 from cphnsw_tpu.graph import nndescent, pruning, stats as gstats
 from cphnsw_tpu.ops import hadamard, pack, quantize
 
+from cphnsw_tpu.utils.device import force
+
 
 @jax.tree_util.register_pytree_node_class
 class NeighborStore:

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cphnsw_tpu.utils.device import force
+
 INVALID = jnp.int32(-1)
 FLOAT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
 

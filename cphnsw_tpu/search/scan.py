@@ -370,8 +370,16 @@ def fused_bin_plan(n_pad: int, top_c: int) -> tuple[int, int, int]:
         FUSED_BINS_MIN, FUSED_BIN_FACTOR * top_c,
         -(-n_pad // (1 << GROUP_BITS)),
     )
-    bins = -(-want // 512) * 512
-    bins = min(bins, -(-n_pad // 512) * 512)
+    # Lane-block rounding.  Block-size A/B on the real chip (same
+    # weather window, 100k/1M/10M): bn=512 tiles beat 2048/4096 at every
+    # scale (100k: 103 vs 132 vs 200 ms e2e; 1M: 152 vs 232 ms; 10M:
+    # equal) — per-ELEMENT cost grows with tile size (VMEM pressure
+    # breaks Mosaic's pipelining) faster than the per-step overhead
+    # amortizes, so bins keep the 512 rounding and the kernel keeps
+    # bn=512.
+    block = 512
+    bins = -(-want // block) * block
+    bins = min(bins, -(-n_pad // block) * block)
     groups = -(-n_pad // bins)
     return bins, groups, groups * bins
 
@@ -388,14 +396,10 @@ def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
     bq = min(256, q)
     if p >= 1024:  # keep VMEM blocks comfortable at high dim
         bq = min(bq, 128)
-    # the total grid is (q/bq) * (rows_kpad/bn): per-step overhead
-    # dominated the kernel at 10M rows with bn=512 (78k steps ~ 80 ms for
-    # ~3 ms of DMA), so bn takes the largest block that divides bins.
-    # VMEM bound: ~7 block-sized i32/f32 arrays live per step (4 output
-    # key planes + fs + score + key), so bq*bn*28B must stay under the
-    # 16 MB scoped-vmem stack — bq=256 x bn=2048 = 14.7 MB fits; 512 x
-    # 2048 (32.6 MB) does not.
-    bn = next(b for b in (2048, 1024, 512) if bins % b == 0)
+    # bn=512 measured fastest at every store size (see fused_bin_plan
+    # note): larger tiles pay more per element than their step-count
+    # saving returns.
+    bn = 512
     # the q % bq check must come AFTER every bq adjustment: a passing
     # assert followed by a bq change would let grid q // bq truncate and
     # silently never write rows beyond bq * (q // bq) (ADVICE r4)
@@ -403,10 +407,9 @@ def fused_scan_keys(codes_i8, node_aux_k, q_u_i8, w_fs, y_aux,
     nb = bins // bn
 
     # ~8 block-sized i32/f32 arrays live per step (4 output key planes +
-    # fs + score + key + double-buffered inputs): bq=256 x bn=2048 needs
-    # ~17 MB of scoped VMEM, just over the compiler's 16 MB default —
-    # raise the limit (v5e has 128 MB of VMEM) rather than shrink blocks,
-    # since larger row blocks are what keep the grid overhead down.
+    # fs + score + key + double-buffered inputs): headroom above the
+    # compiler's 16 MB scoped-VMEM default keeps the block layout free
+    # (v5e has 128 MB of VMEM).
     kw = {}
     if not interpret:
         from jax.experimental.pallas import tpu as pltpu
@@ -466,8 +469,15 @@ TWO_STAGE_MIN_C = 4096
 BF16_SKETCH_MAX_RAW_BYTES = 3 << 30
 # Candidate budget above which selection switches from
 # estimate-select-then-gather to the full int8-sketch scan (see the
-# sketch-scan branch in scan_search).
-SKETCH_SCAN_MIN_C = 8192
+# sketch-scan branch in scan_search).  The crossover is early: the
+# sketch scan costs the SAME kernel pass (grid-step-bound, and the int8
+# vs packed-plane stream difference is noise next to it) plus a tiny
+# survivor select, while the estimate path pays a top_c-wide decode and
+# a Q*top_c random row-gather that runs ~30-60x below streaming
+# bandwidth (1M/128d measured: 13.2 GB gathered per 8192-query batch =
+# 25x the store, 1.7% of HBM peak).  Below the threshold the estimate
+# path's smaller decode/gather wins (100k: top_c=384, gather 2 ms).
+SKETCH_SCAN_MIN_C = 1024
 
 
 class RerankSketch(NamedTuple):

@@ -94,23 +94,39 @@ def main():
     def full():
         ids_d, d_d = scan.scan_search(
             arrays, q_dev, signs, aff_a, aff_b, n_dev, kappa=kappa,
-            k=k, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem, fused=True)
+            k=k, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem, fused=True,
+            sketch=getattr(idx, "_sketch", None))
         packed = jnp.stack(
             [ids_d, jax.lax.bitcast_convert_type(d_d, jnp.int32)], 0)
         return np.asarray(packed)
 
     dev_ms = med(full) - floor
-    # bytes streamed by one SUB-query pass (dominant terms)
-    codes_bytes = rows_kpad * p                       # int8 codes, 1 pass
-    aux_bytes = 6 * rows_kpad * 4
-    keys_bytes = SUB * 2 * bins * 4 * 2               # write + read back
-    rerank_bytes = SUB * top_c * p * 4                # f32 gather
+    # bytes streamed by one SUB-query pass (dominant terms); the byte
+    # model follows the mode the search actually runs in
+    sketch_mode = (
+        idx._sketch is not None and idx._sketch.scale is not None
+        and top_c >= scan.SKETCH_SCAN_MIN_C
+    )
+    if sketch_mode:
+        surv = scan._rerank_survivors(k, top_c)
+        bins_s, groups_s, rows_s = scan.fused_bin_plan(n_pad, surv)
+        codes_bytes = rows_s * p                      # int8 sketch codes
+        aux_bytes = 6 * rows_s * 4
+        keys_bytes = SUB * scan.FUSED_TOPM * bins_s * 4 * 2
+        rerank_bytes = SUB * surv * p * 4             # f32 survivors only
+        mode = f"sketch-scan (surv={surv}, bins={bins_s})"
+    else:
+        codes_bytes = rows_kpad * p                   # unpacked est codes
+        aux_bytes = 6 * rows_kpad * 4
+        keys_bytes = SUB * scan.FUSED_TOPM * bins * 4 * 2
+        rerank_bytes = SUB * top_c * p * 4            # f32 gather
+        mode = "estimate-select"
     total_bytes = codes_bytes + aux_bytes + keys_bytes + rerank_bytes
     int8_ops = 2 * SUB * rows_kpad * p                # MXU MACs x2
     t_bw_ms = total_bytes / HBM_BPS * 1e3
     t_mxu_ms = int8_ops / MXU_INT8_OPS * 1e3
     out["roofline"] = {
-        "sub": SUB, "top_c": top_c, "bins": bins,
+        "sub": SUB, "top_c": top_c, "bins": bins, "mode": mode,
         "measured_device_ms": round(dev_ms, 2),
         "bytes": {"codes": codes_bytes, "aux": aux_bytes,
                   "keys": keys_bytes, "rerank_gather": rerank_bytes,
