@@ -329,3 +329,46 @@ def test_sketch_scan_mode(rng):
     np.testing.assert_allclose(
         np.asarray(d_s)[valid], want[valid], rtol=1e-4, atol=1e-4
     )
+
+
+def test_derived_sub_batch_scales_down():
+    """Selection transients bound the sub-batch: small stores keep the
+    cap, the 10M 1-bit budget (bins ~52k) must drop it (the Q=1024
+    program overflowed HBM by 305 MB; Q=512 fits)."""
+    assert scan.derived_sub_batch(102400, 384) == 2048
+    sub = scan.derived_sub_batch(10_000_128, 26080)
+    assert sub <= 1024
+    bins = scan.fused_bin_plan(10_000_128, 26080)[0]
+    assert sub * bins * 24 <= (1 << 30) or sub == 256
+
+
+def test_rerank_sketch_int8_accuracy(rng):
+    """The int8 sketch's reconstruction error must be below 1% of the
+    per-dimension range — enough that stage-1 survivor selection with a
+    4k buffer cannot demote a true top-k candidate."""
+    x = (rng.standard_normal((4096, 32)) * 3.0).astype(np.float32)
+    xj = jnp.asarray(x)
+    sk = scan.make_rerank_sketch(xj, jnp.sum(xj * xj, -1),
+                                 force_int8=True)
+    xhat = np.asarray(sk.store).astype(np.float32) * np.asarray(sk.scale)
+    err = np.abs(xhat - x).max(axis=0)
+    rng_d = np.abs(x).max(axis=0)
+    assert (err <= rng_d / 127.0 + 1e-6).all()
+    # sketch norms are the norms OF THE SKETCH points
+    np.testing.assert_allclose(
+        np.asarray(sk.norm_sq), (xhat ** 2).sum(-1), rtol=1e-5
+    )
+
+
+def test_candidate_budget_monotone():
+    b = scan.CandidateBudget(
+        anchors=np.asarray([1, 10, 100], np.int64),
+        ranks=np.asarray([50, 400, 3000], np.int64),
+    )
+    n = 1_000_000
+    prev = 0
+    for k in (1, 5, 10, 50, 100, 500):
+        c = b.top_c(k, n)
+        assert c >= prev, (k, c, prev)
+        assert c >= min(4 * k, n)
+        prev = c
