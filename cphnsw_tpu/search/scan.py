@@ -469,15 +469,23 @@ TWO_STAGE_MIN_C = 4096
 BF16_SKETCH_MAX_RAW_BYTES = 3 << 30
 # Candidate budget above which selection switches from
 # estimate-select-then-gather to the full int8-sketch scan (see the
-# sketch-scan branch in scan_search).  The crossover is early: the
-# sketch scan costs the SAME kernel pass (grid-step-bound, and the int8
+# sketch-scan branch in scan_search).  Zero = ALWAYS on the fused path:
+# the sketch scan costs the SAME kernel pass (grid-step-bound; the int8
 # vs packed-plane stream difference is noise next to it) plus a tiny
 # survivor select, while the estimate path pays a top_c-wide decode and
 # a Q*top_c random row-gather that runs ~30-60x below streaming
 # bandwidth (1M/128d measured: 13.2 GB gathered per 8192-query batch =
-# 25x the store, 1.7% of HBM peak).  Below the threshold the estimate
-# path's smaller decode/gather wins (100k: top_c=384, gather 2 ms).
-SKETCH_SCAN_MIN_C = 1024
+# 25x the store, 1.7% of HBM peak).  Same-session A/B at the 100k
+# headline (the estimate path's BEST case, top_c=384): sketch-scan
+# 104.0 ms / recall@10 0.9992 vs estimate 106.1 ms / 0.9984 — equal
+# speed, better recall; and the estimate budget's rank-quantile can
+# under-deliver on heavy-tailed estimator noise (4-bit 1M k=10 derived
+# top_c=160 -> recall 0.9873 vs target 0.99; the sketch path's
+# near-exact stage-1 is immune).  The estimate-select machinery remains
+# the path of record where the sketch cannot exist: the XLA/sharded
+# engines and memory-bound regimes (>HBM stores, where packed planes at
+# bits*P/8 bytes are the only representation that fits).
+SKETCH_SCAN_MIN_C = 0
 
 
 class RerankSketch(NamedTuple):
@@ -535,7 +543,12 @@ def make_rerank_sketch(raw, norm_sq, force_int8: bool = False
 
 
 def _rerank_survivors(k: int, c: int) -> int:
-    return min(max(4 * k, 64), c)
+    # floor 512: the int8 sketch's QUERY-side quantization noise (the
+    # round(q*scale/sigma_q) operand) can push a true top-10 neighbor
+    # to sketch rank ~300+ on wide-gap clustered data (1M/128d: recall@10
+    # 0.9873 at surv<=256 vs 0.9985+ above); the stage-2 exact gather of
+    # 512 rows/query is still noise (~0.3 ms) next to the store stream
+    return min(max(4 * k, 512), c)
 
 
 def _candidate_topk(raw, norm_sq, qeff, qnorm, cand_ids, n, kk: int,
