@@ -530,13 +530,22 @@ class Index:
         return self
 
 
-# Auto engine selection: the scan engine holds raw f32 + int8 codes + aux
-# on one chip; above this store-size budget the single-chip scan no longer
-# fits next to its score buffers (16 GB HBM on v5e) and the graph engine's
-# lower per-query bandwidth takes over (beyond that, ShardedIndex).  At
-# every scale that fits, the measured scan/graph QPS ratio is 7-70x in the
-# scan's favor (PARITY.md "Engine crossover") — memory, not speed, is the
-# only reason to pick the graph engine on a single chip.
+# Scan store HBM budget, retained for sizing diagnostics.  Round 5
+# DEMOTED the graph engine from auto selection entirely (PARITY.md
+# "Engine crossover"): (a) at every measured scale the scan wins by
+# 2-3 orders of magnitude at higher recall (1M/128d: 54k QPS @ 0.999 vs
+# a flat ~142 QPS @ 0.92 that does NOT improve with batch size — the
+# lockstep beam is work-bound, not latency-bound); (b) the "memory
+# fallback" was illusory: the graph store (raw 4P + R neighbor blocks
+# ~ R*bits*P/8 + aux) is ~2.4x LARGER per row than the scan store
+# (raw 4P + int8 sketch P + packed planes bits*P/8), so any store too
+# big for the scan is far too big for the graph; (c) the compute
+# crossover (graph's ~7 ms/query flat vs the scan's ~N * 6e-9 ms/query)
+# sits at ~10^9 rows — two orders beyond what a 16 GB chip can hold
+# either way.  Beyond one chip the architecture shards
+# (ShardedScanIndex), keeping per-chip N inside the scan's envelope.
+# The graph engine remains available explicitly (engine="graph") as the
+# reference-parity DABS implementation and via ShardedIndex.
 SCAN_HBM_BUDGET = 8 << 30
 
 
@@ -544,9 +553,10 @@ def _estimate_scan_bytes(n: int, dim: int, bits: int = 1) -> int:
     p = hadamard.next_pow2(dim)
     n_pad = -(-n // 256) * 256
     raw = n_pad * p * 4
+    sketch = n_pad * p  # int8 rerank sketch (round 5)
     codes = n_pad * max(p // 32, 1) * 4 * bits  # packed uint32 bit-planes
     aux = n_pad * 4 * 7  # node_aux rows + norm_sq
-    return raw + codes + aux
+    return raw + sketch + codes + aux
 
 
 class CPIndex:
@@ -606,12 +616,11 @@ class CPIndex:
             vectors = np.asarray(vectors)
         name = self._engine_req
         if name == "auto":
-            n = vectors.shape[0] if vectors.ndim == 2 else 0
-            fits = (
-                _estimate_scan_bytes(max(n, 1), self._dim, self._bits)
-                <= SCAN_HBM_BUDGET
-            )
-            name = "scan" if fits else "graph"
+            # round 5: the scan engine at every single-chip scale (see
+            # the SCAN_HBM_BUDGET note); stores beyond one chip shard
+            # via ShardedScanIndex rather than falling back to a graph
+            # store that is larger AND slower
+            name = "scan"
         if self.engine != name:
             self._index = self._make_engine(name)
         if name == "graph" and isinstance(vectors, jax.Array):

@@ -61,7 +61,7 @@ def main():
 
     out = {"n": n, "dim": dim, "bits": bits,
            "step_budget": idx._step_budget, "cases": {}}
-    for nq in (1024, 8192):
+    for nq in (2048, 4096):
         for k in (10, 100):
             q = queries[:nq]
             ms = med(lambda: idx.search_batch(q, k=k))
