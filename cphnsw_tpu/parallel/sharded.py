@@ -207,7 +207,9 @@ def shard_scan_store(store: ShardedScanStore, mesh: Mesh) -> ShardedScanStore:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kappa", "k", "top_c", "chunk", "n_eq", "rem", "mesh"),
+    static_argnames=(
+        "kappa", "k", "top_c", "chunk", "n_eq", "rem", "mesh", "fused"
+    ),
 )
 def sharded_scan_search(
     store: ShardedScanStore,
@@ -223,6 +225,7 @@ def sharded_scan_search(
     chunk: int,
     n_eq: int,
     rem: int,
+    fused: bool = False,
 ):
     """Global top-k over all scan shards.
 
@@ -249,7 +252,7 @@ def sharded_scan_search(
             jnp.maximum(jnp.minimum(n - base, n_local), 0),
             kappa=kappa, k=k_local,
             top_c=max(min(top_c, n_local), k_local),
-            chunk=chunk, n_eq=n_eq, rem=rem,
+            chunk=chunk, n_eq=n_eq, rem=rem, fused=fused,
         )
         global_ids = jnp.where(local_ids >= 0, local_ids + base, -1)
         all_ids = jax.lax.all_gather(global_ids, "model", axis=0)  # (S,Q,k)
@@ -613,7 +616,15 @@ class ShardedScanIndex:
             )
         nq = len(queries)
         n_data = self._mesh.shape["data"]
-        pad = (-nq) % n_data
+        # the Pallas fused per-shard kernel runs when every mesh device
+        # is a real TPU; it needs the per-device query block padded to
+        # the kernel's row-tile granularity (the XLA path only needs the
+        # data-axis multiple)
+        fused = all(
+            d.platform == "tpu" for d in self._mesh.devices.flat
+        )
+        grain = n_data * (256 if fused else 1)
+        pad = (-nq) % grain
         q_in = queries
         if pad:
             q_in = np.concatenate(
@@ -632,6 +643,7 @@ class ShardedScanIndex:
             self._store, jnp.asarray(q_in), inner._signs, aff_a, aff_b,
             n_dev, self._mesh, kappa=float((1 << self.bits) - 1),
             k=k_eff, top_c=top_c, chunk=chunk, n_eq=n_eq, rem=rem,
+            fused=fused,
         )
         ids = np.asarray(ids)[:nq].astype(np.int64)
         dists = np.asarray(dists)[:nq]
